@@ -1,0 +1,206 @@
+"""Deterministic synthetic scene generator — the test backbone.
+
+The reference has no end-to-end golden-scene tests (SURVEY.md §4); its unit
+tests build ad-hoc synthetic geometry per test file (e.g.
+/root/reference/src/rotation_estimation/robust_rotation_estimator_test.cpp:58).
+Here we centralize that: known cameras/poses/points -> projected tracks with
+controllable noise/outliers, usable by every layer's tests and by bench.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from dagsfm_tpu.ops import rotations as rops
+from dagsfm_tpu.scene import cameras as cm
+from dagsfm_tpu.scene.reconstruction import ImageRecord, Reconstruction
+
+
+@dataclasses.dataclass
+class SyntheticSceneSpec:
+    num_cameras: int = 20
+    num_points: int = 500
+    image_width: int = 1024
+    image_height: int = 768
+    focal: float = 1000.0
+    # cameras on a ring of this radius looking at the origin cloud
+    ring_radius: float = 10.0
+    ring_height_jitter: float = 1.0
+    point_cloud_extent: float = 4.0
+    pixel_noise: float = 0.0
+    outlier_fraction: float = 0.0
+    min_track_length: int = 2
+    seed: int = 0
+    camera_model: str = "SIMPLE_PINHOLE"
+
+
+@dataclasses.dataclass
+class SyntheticScene:
+    """Ground truth + observations for a generated scene."""
+    spec: SyntheticSceneSpec
+    # ground truth
+    R: np.ndarray          # (I, 3, 3) world->cam
+    t: np.ndarray          # (I, 3)
+    points: np.ndarray     # (P, 3)
+    camera: cm.Camera
+    # observations
+    visible: np.ndarray    # (I, P) bool
+    pixels: np.ndarray     # (I, P, 2) projected pixels (valid where visible)
+    is_outlier: np.ndarray  # (I, P) bool, subset of visible
+
+    def look_dirs(self) -> np.ndarray:
+        return self.R[:, 2, :]  # cam z-axis in world frame
+
+    def centers(self) -> np.ndarray:
+        return np.einsum("nij,nj->ni", self.R.transpose(0, 2, 1), -self.t)
+
+
+def _look_at(center: np.ndarray, target: np.ndarray, up=(0.0, 0.0, 1.0)):
+    """World->cam rotation for a camera at `center` looking at `target`."""
+    z = target - center
+    z = z / np.linalg.norm(z)
+    up = np.asarray(up, np.float64)
+    x = np.cross(z, up)
+    nx = np.linalg.norm(x)
+    if nx < 1e-9:
+        x = np.array([1.0, 0.0, 0.0])
+    else:
+        x = x / nx
+    y = np.cross(z, x)
+    R = np.stack([x, y, z], axis=0)  # rows = cam axes in world coords
+    t = -R @ center
+    return R, t
+
+
+def generate(spec: SyntheticSceneSpec) -> SyntheticScene:
+    rng = np.random.default_rng(spec.seed)
+    P = spec.num_points
+    I = spec.num_cameras
+
+    points = rng.uniform(-spec.point_cloud_extent, spec.point_cloud_extent,
+                         size=(P, 3))
+
+    Rs, ts = [], []
+    for i in range(I):
+        ang = 2.0 * np.pi * i / I
+        center = np.array([
+            spec.ring_radius * np.cos(ang),
+            spec.ring_radius * np.sin(ang),
+            rng.uniform(-spec.ring_height_jitter, spec.ring_height_jitter),
+        ])
+        target = rng.uniform(-0.5, 0.5, size=3)
+        R, t = _look_at(center, target)
+        Rs.append(R)
+        ts.append(t)
+    R = np.stack(Rs)
+    t = np.stack(ts)
+
+    camera = cm.make_simple_camera(1, spec.image_width, spec.image_height,
+                                   focal=spec.focal, model=spec.camera_model)
+
+    # project all points into all cameras (numpy; exact pinhole)
+    Xc = np.einsum("nij,pj->npi", R, points) + t[:, None, :]   # (I, P, 3)
+    z = Xc[..., 2]
+    in_front = z > 0.2
+    z_safe = np.where(np.abs(z) < 1e-9, 1e-9, z)
+    uv = Xc[..., :2] / z_safe[..., None]
+    fx, _, cx, cy = camera.params[0], camera.params[0], camera.params[1], camera.params[2]
+    pix = uv * fx + np.array([cx, cy])
+    in_image = ((pix[..., 0] >= 0) & (pix[..., 0] < spec.image_width)
+                & (pix[..., 1] >= 0) & (pix[..., 1] < spec.image_height))
+    visible = in_front & in_image
+
+    if spec.pixel_noise > 0:
+        pix = pix + rng.normal(0.0, spec.pixel_noise, size=pix.shape)
+
+    is_outlier = np.zeros_like(visible)
+    if spec.outlier_fraction > 0:
+        flip = rng.random(visible.shape) < spec.outlier_fraction
+        is_outlier = visible & flip
+        rand_pix = np.stack([
+            rng.uniform(0, spec.image_width, visible.shape),
+            rng.uniform(0, spec.image_height, visible.shape),
+        ], axis=-1)
+        pix = np.where(is_outlier[..., None], rand_pix, pix)
+
+    # enforce min track length
+    track_len = visible.sum(axis=0)
+    ok = track_len >= spec.min_track_length
+    visible = visible & ok[None, :]
+    is_outlier = is_outlier & ok[None, :]
+
+    return SyntheticScene(spec=spec, R=R, t=t, points=points, camera=camera,
+                          visible=visible, pixels=pix, is_outlier=is_outlier)
+
+
+def to_reconstruction(scene: SyntheticScene,
+                      with_points: bool = True) -> Reconstruction:
+    """Build a ground-truth Reconstruction (all images registered)."""
+    rec = Reconstruction()
+    rec.add_camera(scene.camera)
+    I, P = scene.visible.shape
+    import jax.numpy as jnp
+
+    # per-image keypoint arrays: the visible points, in point order
+    kp_index = np.full((I, P), -1, np.int64)
+    for i in range(I):
+        vis = np.nonzero(scene.visible[i])[0]
+        xys = scene.pixels[i, vis]
+        kp_index[i, vis] = np.arange(len(vis))
+        q = np.asarray(rops.rotmat_to_quat(jnp.asarray(scene.R[i])))
+        rec.add_image(ImageRecord(
+            image_id=i + 1, name=f"image{i + 1:05d}.jpg", camera_id=1,
+            qvec=q, tvec=scene.t[i].copy(), xys=xys,
+            point3D_ids=np.full(len(vis), -1, np.int64), registered=True))
+
+    if with_points:
+        for p in range(P):
+            track = [(i + 1, int(kp_index[i, p]))
+                     for i in range(I) if scene.visible[i, p]]
+            if len(track) >= 2:
+                rec.add_point3D(scene.points[p], track)
+    return rec
+
+
+def pose_errors(rec: Reconstruction, scene: SyntheticScene,
+                align: bool = True) -> dict:
+    """Rotation (deg) & center (ATE) errors of rec vs ground truth.
+
+    If `align`, first fits a Sim(3) (Umeyama) from estimated camera centers
+    to ground-truth centers — reconstructions are gauge-free.
+    """
+    import jax.numpy as jnp
+    ids, est_C, gt_C, est_R = [], [], [], []
+    for i, img in sorted(rec.images.items()):
+        if not img.registered:
+            continue
+        k = i - 1
+        Rcw = np.asarray(rops.quat_to_rotmat(jnp.asarray(img.qvec)))
+        est_R.append(Rcw)
+        est_C.append(-Rcw.T @ img.tvec)
+        gt_C.append(scene.centers()[k])
+        ids.append(k)
+    est_C, gt_C = np.stack(est_C), np.stack(gt_C)
+    est_R = np.stack(est_R)
+
+    s, Rsim, tsim = 1.0, np.eye(3), np.zeros(3)
+    if align and len(ids) >= 3:
+        from dagsfm_tpu.ops.umeyama import umeyama_np
+        s, Rsim, tsim = umeyama_np(est_C, gt_C)
+    C_aligned = s * est_C @ Rsim.T + tsim
+    ate = np.sqrt(np.mean(np.sum((C_aligned - gt_C) ** 2, axis=-1)))
+
+    rot_errs = []
+    for n, k in enumerate(ids):
+        R_aligned = est_R[n] @ Rsim.T
+        Rrel = R_aligned.T @ scene.R[k]
+        cos = np.clip((np.trace(Rrel) - 1) / 2, -1, 1)
+        rot_errs.append(np.degrees(np.arccos(cos)))
+    return {
+        "ate": float(ate),
+        "rot_err_deg_mean": float(np.mean(rot_errs)),
+        "rot_err_deg_max": float(np.max(rot_errs)),
+        "num_reg": len(ids),
+    }
