@@ -1,0 +1,407 @@
+"""Two-view epipolar geometry: E/F/H minimal solvers + pose recovery.
+
+TPU-native counterpart of /root/reference/src/estimators/essential_matrix.*,
+fundamental_matrix.*, homography_matrix.* and src/base/essential_matrix.*.
+Everything is fixed-shape and vmap-safe so RANSAC can evaluate thousands of
+minimal samples as one batched program (the hypothesize-and-verify kernel).
+
+Solvers return (models (M, 3, 3), valid (M,)) with a static max solution
+count M per minimal sample; invalid slots are masked.
+
+Points are *normalized image coordinates* (K^-1 applied) for E, pixels for
+F/H (with internal Hartley normalization).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dagsfm_tpu.ops import polynomials as poly
+from dagsfm_tpu.ops import rotations as rops
+from dagsfm_tpu.ops import triangulation as tri
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _hartley_normalize(pts: jax.Array, mask: jax.Array | None = None):
+    """Center + scale points to mean distance sqrt(2). Returns (pts, T)."""
+    if mask is None:
+        w = jnp.ones(pts.shape[0], pts.dtype)
+    else:
+        w = mask.astype(pts.dtype)
+    wsum = jnp.maximum(w.sum(), 1e-12)
+    mean = (pts * w[:, None]).sum(0) / wsum
+    centered = pts - mean
+    dist = jnp.sqrt(jnp.sum(centered ** 2, axis=-1))
+    mean_dist = (dist * w).sum() / wsum
+    s = jnp.sqrt(2.0) / jnp.maximum(mean_dist, 1e-12)
+    T = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
+                  pts.dtype)
+    T = T.at[0, 0].set(s).at[1, 1].set(s)
+    T = T.at[0, 2].set(-s * mean[0]).at[1, 2].set(-s * mean[1])
+    return centered * s, T
+
+
+def _epipolar_rows(x1: jax.Array, x2: jax.Array) -> jax.Array:
+    """Rows of the 9-col constraint matrix: x2ᵀ F x1 = 0 per correspondence."""
+    u1, v1 = x1[..., 0], x1[..., 1]
+    u2, v2 = x2[..., 0], x2[..., 1]
+    one = jnp.ones_like(u1)
+    return jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2,
+                      u1, v1, one], axis=-1)
+
+
+def _smallest_eigvec(AtA: jax.Array) -> jax.Array:
+    """Eigenvector of the smallest eigenvalue of a symmetric matrix."""
+    _, V = jnp.linalg.eigh(AtA)
+    return V[..., :, 0]
+
+
+def _nullspace_k(A: jax.Array, k: int, weights=None) -> jax.Array:
+    """k right-singular vectors with smallest singular values, via eigh."""
+    if weights is not None:
+        A = A * weights[..., :, None]
+    AtA = jnp.swapaxes(A, -1, -2) @ A
+    _, V = jnp.linalg.eigh(AtA)
+    return V[..., :, :k]          # (9, k)
+
+
+# ---------------------------------------------------------------------------
+# Essential matrix — 8-point (ref: essential_matrix.h:92 EssentialMatrixEightPointEstimator)
+# ---------------------------------------------------------------------------
+
+def essential_8pt(x1: jax.Array, x2: jax.Array,
+                  mask: jax.Array | None = None):
+    """E from ≥8 normalized correspondences (N, 2). Returns ((1,3,3), (1,))."""
+    A = _epipolar_rows(x1, x2)
+    if mask is not None:
+        A = A * mask.astype(A.dtype)[:, None]
+    e = _smallest_eigvec(A.T @ A)
+    E = e.reshape(3, 3)
+    # project to essential manifold: singular values (s, s, 0)
+    U, S, Vt = jnp.linalg.svd(E)
+    s = (S[0] + S[1]) * 0.5
+    E = (U * jnp.array([1.0, 1.0, 0.0], E.dtype) * s) @ Vt
+    return E[None], jnp.ones((1,), bool)
+
+
+# ---------------------------------------------------------------------------
+# Essential matrix — 5-point Nistér (ref: essential_matrix.h:52)
+# ---------------------------------------------------------------------------
+# Monomial basis in (x, y, z), degree ≤ 3, split into the 10 we eliminate
+# (A-group) and the 10 that remain (B-group):
+_MONOMIALS_A = ["x3", "y3", "x2y", "xy2", "x2z", "y2z", "xyz", "x2", "y2", "xy"]
+_MONOMIALS_B = ["xz2", "xz", "x", "yz2", "yz", "y", "z3", "z2", "z", "1"]
+
+
+def _eval_monomials(x, y, z):
+    return jnp.stack([
+        x ** 3, y ** 3, x * x * y, x * y * y, x * x * z, y * y * z,
+        x * y * z, x * x, y * y, x * y,
+        x * z * z, x * z, x, y * z * z, y * z, y,
+        z ** 3, z * z, z, jnp.ones_like(x),
+    ], axis=-1)
+
+
+def _np_monomials(x, y, z):
+    return np.array([
+        x ** 3, y ** 3, x * x * y, x * y * y, x * x * z, y * y * z,
+        x * y * z, x * x, y * y, x * y,
+        x * z * z, x * z, x, y * z * z, y * z, y,
+        z ** 3, z * z, z, 1.0,
+    ])
+
+
+def _make_sample_points():
+    rng = np.random.default_rng(1234)
+    # generic points, moderate magnitude for conditioning
+    return rng.uniform(-1.5, 1.5, size=(20, 3))
+
+
+_SAMPLES = _make_sample_points()
+_V_INV = np.linalg.inv(np.stack([_np_monomials(*p) for p in _SAMPLES]))
+
+
+def _essential_constraints(E: jax.Array):
+    """The 10 cubic constraints of an essential matrix: det(E) and
+    2 E Eᵀ E − trace(E Eᵀ) E = 0 (Nistér Eq. 2-3)."""
+    detE = jnp.linalg.det(E)
+    EEt = E @ jnp.swapaxes(E, -1, -2)
+    T = 2.0 * (EEt @ E) - jnp.trace(EEt, axis1=-2, axis2=-1)[..., None, None] * E
+    return jnp.concatenate([detE[..., None], T.reshape(*T.shape[:-2], 9)],
+                           axis=-1)
+
+
+def essential_5pt(x1: jax.Array, x2: jax.Array,
+                  mask: jax.Array | None = None, max_solutions: int = 10):
+    """Nistér 5-point E solver, companion-matrix-free.
+
+    Pipeline (all fixed-shape):
+      1. 4-dim nullspace of the 5x9 epipolar system -> E = xX + yY + zZ + W.
+      2. The 10 cubic constraint polynomials' coefficients are recovered by
+         *interpolation*: evaluate constraints at 20 fixed generic (x,y,z)
+         samples and multiply by a precomputed inverse Vandermonde — no
+         symbolic expansion.
+      3. Gauss-Jordan eliminate the 10 higher monomials; build the 3x3
+         polynomial matrix B(z) with det B(z) = degree-10 polynomial.
+      4. Real roots via the fixed-grid root finder; back-substitute x, y.
+
+    Returns (E (max_solutions, 3, 3), valid (max_solutions,)).
+    """
+    A = _epipolar_rows(x1, x2)                              # (N, 9)
+    if mask is not None:
+        A = A * mask.astype(A.dtype)[:, None]
+    N4 = _nullspace_k(A, 4)                                 # (9, 4)
+    X = N4[:, 0].reshape(3, 3)
+    Y = N4[:, 1].reshape(3, 3)
+    Z = N4[:, 2].reshape(3, 3)
+    W = N4[:, 3].reshape(3, 3)
+
+    # evaluate constraints at the fixed samples -> coefficient matrix M (10, 20)
+    samples = jnp.asarray(_SAMPLES, A.dtype)
+    Es = (samples[:, 0, None, None] * X + samples[:, 1, None, None] * Y
+          + samples[:, 2, None, None] * Z + W)              # (20, 3, 3)
+    F_vals = _essential_constraints(Es)                     # (20, 10)
+    Vinv = jnp.asarray(_V_INV, A.dtype)
+    M = (Vinv @ F_vals).T                                   # (10, 20)
+
+    # Gauss-Jordan: solve M_A C = M_B so rows read monA_i = -C_i · monB
+    MA = M[:, :10]
+    MB = M[:, 10:]
+    C = jnp.linalg.solve(MA, MB)                            # (10, 10)
+
+    # rows (by _MONOMIALS_A order): x2z=4, y2z=5, xyz=6, x2=7, y2=8, xy=9
+    # eq_i(z): z * row(x2) - row(x2z) etc., in basis
+    # [x z^3..x, y z^3..y, z^4..1] -> coefficients p1 (deg3), p2 (deg3), p3 (deg4)
+    def _shift_mul_z(c_row):
+        """Row over B-monomials -> (p1(4), p2(4), p3(5)) for z * row."""
+        # B order: xz2 xz x | yz2 yz y | z3 z2 z 1
+        p1 = jnp.stack([c_row[0], c_row[1], c_row[2], jnp.zeros_like(c_row[0])])
+        p2 = jnp.stack([c_row[3], c_row[4], c_row[5], jnp.zeros_like(c_row[0])])
+        p3 = jnp.stack([c_row[6], c_row[7], c_row[8], c_row[9],
+                        jnp.zeros_like(c_row[0])])
+        return p1, p2, p3
+
+    def _plain(c_row):
+        z0 = jnp.zeros_like(c_row[0])
+        p1 = jnp.stack([z0, c_row[0], c_row[1], c_row[2]])
+        p2 = jnp.stack([z0, c_row[3], c_row[4], c_row[5]])
+        p3 = jnp.stack([z0, c_row[6], c_row[7], c_row[8], c_row[9]])
+        return p1, p2, p3
+
+    B_rows = []
+    for sq_row, zz_row in ((7, 4), (8, 5), (9, 6)):
+        a1, a2, a3 = _shift_mul_z(C[sq_row])
+        b1, b2, b3 = _plain(C[zz_row])
+        B_rows.append((a1 - b1, a2 - b2, a3 - b3))
+
+    def conv(a, b):
+        return jnp.convolve(a, b)
+
+    # det of 3x3 polynomial matrix via cofactor expansion along first row
+    (p11, p12, p13), (p21, p22, p23), (p31, p32, p33) = B_rows
+    m11 = conv(p22, p33) - conv(p23, p32)          # deg 3+4 -> len 8
+    m12 = conv(p21, p33) - conv(p23, p31)
+    m13 = conv(p21, p32) - conv(p22, p31)          # deg 3+3 -> len 7
+    # all three products have degree 10 (len 11): 3+7, 3+7, 4+6
+    det = conv(p11, m11) - conv(p12, m12) + conv(p13, m13)
+
+    roots, valid = poly.real_roots_sturm(det, max_roots=max_solutions)
+
+    # back-substitute: B(z) [x, y, 1]ᵀ = 0 -> solve 2x2 from first two rows
+    def solve_xy(z):
+        def pv(p):
+            return poly.polyval(p, z)
+        a = jnp.array([[pv(p11), pv(p12)], [pv(p21), pv(p22)]])
+        b = -jnp.array([pv(p13), pv(p23)])
+        det2 = a[0, 0] * a[1, 1] - a[0, 1] * a[1, 0]
+        det2 = jnp.where(jnp.abs(det2) < 1e-20, 1e-20, det2)
+        x = (b[0] * a[1, 1] - b[1] * a[0, 1]) / det2
+        y = (a[0, 0] * b[1] - a[1, 0] * b[0]) / det2
+        return x, y
+
+    xs, ys = jax.vmap(solve_xy)(roots)
+    Emods = (xs[:, None, None] * X + ys[:, None, None] * Y
+             + roots[:, None, None] * Z + W[None])
+    norm = jnp.linalg.norm(Emods.reshape(max_solutions, 9), axis=-1)
+    Emods = Emods / jnp.maximum(norm, 1e-12)[:, None, None]
+    return Emods, valid
+
+
+# ---------------------------------------------------------------------------
+# Fundamental matrix — 8-point / 7-point (ref: fundamental_matrix.h:52,92)
+# ---------------------------------------------------------------------------
+
+def fundamental_8pt(x1: jax.Array, x2: jax.Array,
+                    mask: jax.Array | None = None):
+    """F from ≥8 pixel correspondences with Hartley normalization."""
+    n1, T1 = _hartley_normalize(x1, mask)
+    n2, T2 = _hartley_normalize(x2, mask)
+    A = _epipolar_rows(n1, n2)
+    if mask is not None:
+        A = A * mask.astype(A.dtype)[:, None]
+    f = _smallest_eigvec(A.T @ A)
+    F = f.reshape(3, 3)
+    U, S, Vt = jnp.linalg.svd(F)
+    F = (U * S.at[2].set(0.0)[None, :]) @ Vt                # rank-2 projection
+    F = T2.T @ F @ T1
+    F = F / jnp.maximum(jnp.abs(F[2, 2]), 1e-12)
+    return F[None], jnp.ones((1,), bool)
+
+
+def fundamental_7pt(x1: jax.Array, x2: jax.Array,
+                    mask: jax.Array | None = None):
+    """F from exactly 7 correspondences: det(F1 + λ F2) = 0 cubic.
+
+    Returns (F (3, 3, 3), valid (3,)).
+    """
+    A = _epipolar_rows(x1, x2)
+    if mask is not None:
+        A = A * mask.astype(A.dtype)[:, None]
+    N2 = _nullspace_k(A, 2)
+    F1 = N2[:, 0].reshape(3, 3)
+    F2 = N2[:, 1].reshape(3, 3)
+    # det(F1*λ + F2): cubic in λ — interpolate at 4 points (exact)
+    ls = jnp.asarray([-1.0, 0.0, 1.0, 2.0], A.dtype)
+    vals = jax.vmap(lambda l: jnp.linalg.det(l * F1 + F2))(ls)
+    V = jnp.stack([ls ** 3, ls ** 2, ls, jnp.ones_like(ls)], axis=-1)
+    coeffs = jnp.linalg.solve(V, vals)
+    lam, lvalid = poly.solve_cubic_all(coeffs[0], coeffs[1], coeffs[2],
+                                       coeffs[3])
+    Fs = lam[:, None, None] * F1[None] + F2[None]
+    norm = jnp.linalg.norm(Fs.reshape(3, 9), axis=-1)
+    Fs = Fs / jnp.maximum(norm, 1e-12)[:, None, None]
+    return Fs, lvalid
+
+
+def essential_from_fundamental(F, K1, K2):
+    """E = K2ᵀ F K1 (ref: base/essential_matrix EssentialFromFundamental)."""
+    return jnp.swapaxes(K2, -1, -2) @ F @ K1
+
+
+def fundamental_from_essential(E, K1, K2):
+    return jnp.linalg.inv(jnp.swapaxes(K2, -1, -2)) @ E @ jnp.linalg.inv(K1)
+
+
+# ---------------------------------------------------------------------------
+# Homography — 4-point DLT (ref: homography_matrix.h:46)
+# ---------------------------------------------------------------------------
+
+def homography_dlt(x1: jax.Array, x2: jax.Array,
+                   mask: jax.Array | None = None):
+    """H (x2 ~ H x1) from ≥4 correspondences. Returns ((1,3,3), (1,))."""
+    n1, T1 = _hartley_normalize(x1, mask)
+    n2, T2 = _hartley_normalize(x2, mask)
+    u1, v1 = n1[..., 0], n1[..., 1]
+    u2, v2 = n2[..., 0], n2[..., 1]
+    zero = jnp.zeros_like(u1)
+    one = jnp.ones_like(u1)
+    r1 = jnp.stack([-u1, -v1, -one, zero, zero, zero,
+                    u1 * u2, v1 * u2, u2], axis=-1)
+    r2 = jnp.stack([zero, zero, zero, -u1, -v1, -one,
+                    u1 * v2, v1 * v2, v2], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=0)
+    if mask is not None:
+        m2 = jnp.concatenate([mask, mask]).astype(A.dtype)
+        A = A * m2[:, None]
+    h = _smallest_eigvec(A.T @ A)
+    H = h.reshape(3, 3)
+    H = jnp.linalg.inv(T2) @ H @ T1
+    H = H / jnp.where(jnp.abs(H[2, 2]) < 1e-12, 1e-12, H[2, 2])
+    return H[None], jnp.ones((1,), bool)
+
+
+# ---------------------------------------------------------------------------
+# Residuals
+# ---------------------------------------------------------------------------
+
+def sampson_error(F: jax.Array, x1: jax.Array, x2: jax.Array) -> jax.Array:
+    """Squared Sampson distance (ref: estimators/utils ComputeSquaredSampsonError).
+
+    F: (3, 3); x1, x2: (N, 2). Returns (N,) squared errors.
+    """
+    ones = jnp.ones_like(x1[..., :1])
+    p1 = jnp.concatenate([x1, ones], axis=-1)
+    p2 = jnp.concatenate([x2, ones], axis=-1)
+    Fx1 = p1 @ F.T          # (N, 3) = (F @ p1ᵀ)ᵀ
+    Ftx2 = p2 @ F           # (N, 3) = (Fᵀ @ p2ᵀ)ᵀ
+    num = jnp.sum(p2 * Fx1, axis=-1) ** 2
+    den = Fx1[..., 0] ** 2 + Fx1[..., 1] ** 2 + \
+        Ftx2[..., 0] ** 2 + Ftx2[..., 1] ** 2
+    return num / jnp.maximum(den, 1e-18)
+
+
+def epipolar_line_error(F, x1, x2):
+    """Squared point-to-epipolar-line distance in image 2."""
+    ones = jnp.ones_like(x1[..., :1])
+    p1 = jnp.concatenate([x1, ones], axis=-1)
+    p2 = jnp.concatenate([x2, ones], axis=-1)
+    l2 = p1 @ F.T
+    num = jnp.sum(p2 * l2, axis=-1) ** 2
+    den = l2[..., 0] ** 2 + l2[..., 1] ** 2
+    return num / jnp.maximum(den, 1e-18)
+
+
+def homography_error(H, x1, x2):
+    """Squared transfer error |x2 - H x1|²."""
+    ones = jnp.ones_like(x1[..., :1])
+    p1 = jnp.concatenate([x1, ones], axis=-1)
+    q = p1 @ H.T
+    w = jnp.where(jnp.abs(q[..., 2:]) < 1e-12, 1e-12, q[..., 2:])
+    return jnp.sum((q[..., :2] / w - x2) ** 2, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Pose from essential matrix (ref: base/essential_matrix DecomposeEssentialMatrix
+# + PoseFromEssentialMatrix with cheirality check)
+# ---------------------------------------------------------------------------
+
+def decompose_essential(E: jax.Array):
+    """E -> (R (4,3,3), t (4,3)): the four (R, t) candidates."""
+    U, _, Vt = jnp.linalg.svd(E)
+    # ensure proper rotations
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.array([[0.0, 1.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0]],
+                  E.dtype)
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t = U[:, 2]
+    Rs = jnp.stack([R1, R1, R2, R2])
+    ts = jnp.stack([t, -t, t, -t])
+    return Rs, ts
+
+
+def pose_from_essential(E: jax.Array, x1: jax.Array, x2: jax.Array,
+                        mask: jax.Array):
+    """Pick the (R, t) candidate with max points passing cheirality.
+
+    x1, x2: (N, 2) normalized coords; mask: (N,) inliers to test.
+    Returns (R, t, num_in_front). Camera 1 is at identity; (R, t) maps
+    cam1 coords to cam2 (x2 = R x1 + t up to scale).
+    """
+    Rs, ts = decompose_essential(E)
+    q1 = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0, 0.0], E.dtype), (4,))
+    t1 = jnp.zeros(3, E.dtype)
+
+    def count(R, t):
+        q2 = rops.rotmat_to_quat(R)
+        N = x1.shape[0]
+        X = tri.triangulate_two_view(
+            jnp.broadcast_to(q1, (N, 4)), jnp.broadcast_to(t1, (N, 3)),
+            jnp.broadcast_to(q2, (N, 4)), jnp.broadcast_to(t, (N, 3)),
+            x1, x2)
+        z1 = X[:, 2]
+        z2 = (X @ R.T + t)[:, 2]
+        # depth sanity bounds mirror COLMAP's kMinDepth / max_depth logic
+        good = (z1 > 1e-6) & (z2 > 1e-6) & (z1 < 1e3) & (z2 < 1e3) & mask
+        return jnp.sum(good)
+
+    counts = jax.vmap(count)(Rs, ts)
+    best = jnp.argmax(counts)
+    return Rs[best], ts[best], counts[best]

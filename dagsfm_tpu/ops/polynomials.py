@@ -103,14 +103,14 @@ def solve_quartic_real(a, b, c, d, e):
                          -q * q / 8.0)
     m = jnp.maximum(m, 1e-14)
     s = jnp.sqrt(2.0 * m)
-    q_safe = jnp.where(jnp.abs(s) < 1e-14, 1e-14, s)
-    t1 = -(2.0 * m + p) - 2.0 * q / q_safe * 0.5 * s  # -(2m+p+q*sqrt(2/m)) form
-    # roots of y^2 ∓ s y + (m + p/2 ± q/(2 s)) = 0
-    c1 = m + p / 2.0 - q / (2.0 * q_safe) * 1.0
-    c2 = m + p / 2.0 + q / (2.0 * q_safe) * 1.0
+    s_safe = jnp.where(jnp.abs(s) < 1e-14, 1e-14, s)
+    # factorization: y^4+py^2+qy+r = (y^2 + s y + c1)(y^2 - s y + c2)
+    # with c1 + c2 = p + 2m and s (c2 - c1) = q
+    c1 = m + p / 2.0 - q / (2.0 * s_safe)
+    c2 = m + p / 2.0 + q / (2.0 * s_safe)
     one = jnp.ones_like(s)
-    r12, m12 = solve_quadratic(one, -s, c1)
-    r34, m34 = solve_quadratic(one, s, c2)
+    r12, m12 = solve_quadratic(one, s, c1)
+    r34, m34 = solve_quadratic(one, -s, c2)
     roots = jnp.concatenate([r12, r34], axis=-1) - b_[..., None] / 4.0
     mask = jnp.concatenate([m12, m34], axis=-1)
     return roots, mask
