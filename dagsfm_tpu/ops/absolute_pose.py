@@ -222,3 +222,44 @@ def pose_reproj_error(R, t, points, uv):
     # behind-camera points get infinite error (ref: P3PEstimator residuals
     # use CalculateSquaredReprojectionError with cheirality)
     return jnp.where(proj[..., 2] > 0, err, 1e12)
+
+
+def refine_pose(R, t, points, uv, mask, num_iters: int = 20,
+                loss_scale: float = 1e-2):
+    """Pose-only Gauss-Newton refinement with Cauchy IRLS weights.
+
+    TPU counterpart of the reference's Ceres RefineAbsolutePose
+    (estimators/pose.cc:198). Local so(3) x R^3 increments, fixed trip
+    count, jit/vmap-safe. points (N,3), uv (N,2) normalized, mask (N,).
+    Returns (R, t).
+    """
+    from dagsfm_tpu.ops import rotations as rops
+    dtype = points.dtype
+    q0 = rops.rotmat_to_quat(R)
+
+    def resid(delta, q, tr):
+        dq = rops.angleaxis_to_quat(delta[:3])
+        qq = rops.quat_multiply(dq, q)
+        tt = tr + delta[3:]
+        Xc = rops.quat_rotate(qq[None, :], points) + tt
+        z = jnp.where(jnp.abs(Xc[:, 2]) < 1e-9, 1e-9, Xc[:, 2])
+        return (Xc[:, :2] / z[:, None] - uv)
+
+    def body(carry, _):
+        q, tr = carry
+        zero = jnp.zeros(6, dtype)
+        r = resid(zero, q, tr)                       # (N, 2)
+        J = jax.jacfwd(lambda d: resid(d, q, tr))(zero)  # (N, 2, 6)
+        r2 = jnp.sum(r * r, axis=-1)
+        w = (1.0 / (1.0 + r2 / (loss_scale ** 2))) * mask.astype(dtype)
+        JtJ = jnp.einsum("n,nri,nrj->ij", w, J, J)
+        Jtr = jnp.einsum("n,nri,nr->i", w, J, r)
+        JtJ = JtJ + 1e-8 * jnp.eye(6, dtype=dtype)
+        delta = -jnp.linalg.solve(JtJ, Jtr)
+        dq = rops.angleaxis_to_quat(delta[:3])
+        q = rops.quat_normalize(rops.quat_multiply(dq, q))
+        tr = tr + delta[3:]
+        return (q, tr), None
+
+    (q, tr), _ = jax.lax.scan(body, (q0, t), None, length=num_iters)
+    return rops.quat_to_rotmat(q), tr

@@ -222,3 +222,26 @@ def invert_pose(R, t):
 def camera_center(R, t):
     """Projection center C = -R^T t for world->cam pose."""
     return -(jnp.swapaxes(R, -1, -2) @ t[..., None])[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# NumPy twins for host-side bookkeeping (graph-shaped code paths that would
+# pay dispatch overhead calling into jax per element).
+# ---------------------------------------------------------------------------
+
+def quat_to_rotmat_np(q):
+    """Vectorized numpy wxyz quaternion(s) -> rotation matrices."""
+    import numpy as np
+    q = np.asarray(q, np.float64)
+    n = np.linalg.norm(q, axis=-1, keepdims=True)
+    q = q / np.where(n < 1e-12, 1.0, n)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    ww, xx, yy, zz = w * w, x * x, y * y, z * z
+    wx, wy, wz = w * x, w * y, w * z
+    xy, xz, yz = x * y, x * z, y * z
+    m = np.stack([
+        ww + xx - yy - zz, 2 * (xy - wz), 2 * (xz + wy),
+        2 * (xy + wz), ww - xx + yy - zz, 2 * (yz - wx),
+        2 * (xz - wy), 2 * (yz + wx), ww - xx - yy + zz,
+    ], axis=-1)
+    return m.reshape(q.shape[:-1] + (3, 3))

@@ -204,3 +204,46 @@ def pose_errors(rec: Reconstruction, scene: SyntheticScene,
         "rot_err_deg_max": float(np.max(rot_errs)),
         "num_reg": len(ids),
     }
+
+
+def to_matching_problem(scene: SyntheticScene, match_outlier_fraction=0.0,
+                        seed: int = 0):
+    """Build (cameras, images, correspondence graph) as if features had been
+    matched — the input contract of the incremental mapper.
+
+    Keypoint k of image i = the k-th visible point (scene.pixels order);
+    pairwise matches link keypoints observing the same 3D point, with
+    optional wrong-match injection.
+    """
+    from dagsfm_tpu.sfm.correspondence_graph import CorrespondenceGraph
+
+    rng = np.random.default_rng(seed)
+    I, P = scene.visible.shape
+    kp_index = np.full((I, P), -1, np.int64)
+    images = {}
+    cameras = {1: scene.camera}
+    for i in range(I):
+        vis = np.nonzero(scene.visible[i])[0]
+        kp_index[i, vis] = np.arange(len(vis))
+        images[i + 1] = ImageRecord(
+            image_id=i + 1, name=f"image{i + 1:05d}.jpg", camera_id=1,
+            qvec=np.array([1.0, 0, 0, 0]), tvec=np.zeros(3),
+            xys=scene.pixels[i, vis].copy(),
+            point3D_ids=np.full(len(vis), -1, np.int64))
+
+    graph = CorrespondenceGraph()
+    for i in range(I):
+        graph.add_image(i + 1, int(scene.visible[i].sum()))
+    for i in range(I):
+        for j in range(i + 1, I):
+            common = np.nonzero(scene.visible[i] & scene.visible[j])[0]
+            if len(common) < 8:
+                continue
+            m = np.stack([kp_index[i, common], kp_index[j, common]],
+                         axis=1).astype(np.uint32)
+            if match_outlier_fraction > 0:
+                bad = rng.random(len(m)) < match_outlier_fraction
+                n2 = int(scene.visible[j].sum())
+                m[bad, 1] = rng.integers(0, n2, bad.sum())
+            graph.add_matches(i + 1, j + 1, m)
+    return cameras, images, graph

@@ -1,0 +1,732 @@
+"""Incremental SfM mapper: host control loop over batched device kernels.
+
+TPU-native counterpart of /root/reference/src/sfm/incremental_mapper.{h,cc}
+and incremental_triangulator.{h,cc}. The reference interleaves per-point
+host loops with Ceres solves; here every geometric step is one batched
+device call (RANSAC pose, triangulation, BA), and the host only does the
+graph-shaped bookkeeping:
+
+  find_initial_pair      (ref incremental_mapper.cc FindInitialImagePair :161)
+  register_initial_pair  (ref :258)
+  find_next_images       (ref FindNextImages :202, visibility-score ranking)
+  register_next_image    (ref RegisterNextImage :344 — 2D-3D LORANSAC P3P
+                          + pose refine + observation insertion)
+  triangulate_image      (ref IncrementalTriangulator::TriangulateImage)
+  local / global BA      (ref AdjustLocalBundle :563 / AdjustGlobalBundle :658)
+  filtering              (ref FilterPoints/FilterImages)
+
+Shape discipline: device-call arrays are padded to power-of-two buckets so
+XLA compiles a handful of program shapes per scene, not one per call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dagsfm_tpu.ops import absolute_pose as ap
+from dagsfm_tpu.ops import epipolar as epi
+from dagsfm_tpu.ops import ransac as rnsc
+from dagsfm_tpu.ops import rotations as rops
+from dagsfm_tpu.ops import triangulation as tri
+from dagsfm_tpu.scene import cameras as cm
+from dagsfm_tpu.scene.reconstruction import ImageRecord, Reconstruction
+from dagsfm_tpu.sfm import bundle_adjustment as ba
+from dagsfm_tpu.sfm.correspondence_graph import CorrespondenceGraph
+
+
+@dataclasses.dataclass
+class MapperOptions:
+    """Defaults mirror reference incremental_mapper.h:66-134 options."""
+    init_min_num_inliers: int = 50
+    init_min_tri_angle_deg: float = 4.0
+    abs_pose_max_error_px: float = 12.0
+    abs_pose_min_num_inliers: int = 15
+    abs_pose_min_inlier_ratio: float = 0.25
+    filter_max_reproj_error_px: float = 4.0
+    filter_min_tri_angle_deg: float = 1.5
+    min_tri_angle_deg: float = 1.5
+    tri_max_reproj_error_px: float = 8.0
+    local_ba_num_images: int = 6
+    ba_global_images_ratio: float = 1.1
+    ba_global_points_ratio: float = 1.1
+    ba_local_max_iterations: int = 15
+    ba_global_max_iterations: int = 40
+    num_ransac_hypotheses: int = 512
+    max_track_len: int = 16
+    seed: int = 0
+
+
+def _bucket(n: int, minimum: int = 64) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad_to(arr: np.ndarray, n: int):
+    pad = n - arr.shape[0]
+    return np.pad(arr, [(0, pad)] + [(0, 0)] * (arr.ndim - 1))
+
+
+class IncrementalMapper:
+    """Drives reconstruction of one (sub-)scene.
+
+    images: dict image_id -> ImageRecord with keypoints in `xys` (pixels).
+    cameras: dict camera_id -> Camera.
+    graph: CorrespondenceGraph with verified (inlier) matches.
+    """
+
+    def __init__(self, cameras: dict, images: dict,
+                 graph: CorrespondenceGraph,
+                 options: MapperOptions | None = None):
+        self.opts = options or MapperOptions()
+        self.graph = graph
+        self.rec = Reconstruction()
+        for c in cameras.values():
+            self.rec.add_camera(c)
+        for im in images.values():
+            rec_im = dataclasses.replace(
+                im, point3D_ids=np.full(len(im.xys), -1, np.int64),
+                registered=False)
+            self.rec.add_image(rec_im)
+        self._rng = np.random.default_rng(self.opts.seed)
+        self._key = jax.random.PRNGKey(self.opts.seed)
+        self._num_reg_at_last_global_ba = 0
+        self._num_pts_at_last_global_ba = 0
+        self._tried_init_pairs: set = set()
+        self._failed_regs: dict = {}
+
+    # ------------------------------------------------------------------ utils
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _cam_of(self, image_id: int) -> cm.Camera:
+        return self.rec.cameras[self.rec.images[image_id].camera_id]
+
+    def _normalize(self, image_id: int, xys: np.ndarray) -> np.ndarray:
+        """Pixels -> normalized cam coords via iterative undistortion."""
+        cam = self._cam_of(image_id)
+        if cam.model_id in (cm.SIMPLE_PINHOLE, cm.PINHOLE):
+            K = cam.calibration_matrix()
+            return (xys - K[:2, 2]) / np.array([K[0, 0], K[1, 1]])
+        params = jnp.asarray(cm.pad_params(jnp.asarray(cam.params),
+                                           cam.model_id))
+        uv = cm.cam_from_img(cam.model_id, params, jnp.asarray(xys))
+        return np.asarray(uv)
+
+    def _focal(self, image_id: int) -> float:
+        return self._cam_of(image_id).focal()
+
+    # ------------------------------------------------------ initial pair
+    def find_initial_pair(self):
+        """Rank pairs by correspondence count; verify E-geometry."""
+        pairs = sorted(self.graph.image_pairs(),
+                       key=lambda p: -len(self.graph.pair_matches[p]))
+        for (i, j) in pairs:
+            if (i, j) in self._tried_init_pairs:
+                continue
+            self._tried_init_pairs.add((i, j))
+            ok = self._try_initialize(i, j)
+            if ok:
+                return (i, j)
+        return None
+
+    def _estimate_two_view(self, i: int, j: int):
+        m = self.graph.matches_between(i, j)
+        if len(m) < max(8, self.opts.init_min_num_inliers // 4):
+            return None
+        x1 = self._normalize(i, self.rec.images[i].xys[m[:, 0]])
+        x2 = self._normalize(j, self.rec.images[j].xys[m[:, 1]])
+        n = _bucket(len(m))
+        mask = np.zeros(n, bool)
+        mask[: len(m)] = True
+        x1p = _pad_to(x1, n)
+        x2p = _pad_to(x2, n)
+        thr = (self.opts.abs_pose_max_error_px / 3.0 / self._focal(i)) ** 2
+        res = _ransac_essential(
+            self._next_key(), jnp.asarray(x1p), jnp.asarray(x2p),
+            jnp.asarray(mask), thr, self.opts.num_ransac_hypotheses)
+        return m, x1p, x2p, mask, res
+
+    def _try_initialize(self, i: int, j: int) -> bool:
+        out = self._estimate_two_view(i, j)
+        if out is None:
+            return False
+        m, x1p, x2p, mask, res = out
+        if int(res.num_inliers) < self.opts.init_min_num_inliers:
+            return False
+        R, t, n_front = epi.pose_from_essential(
+            res.model, jnp.asarray(x1p), jnp.asarray(x2p), res.inliers)
+        if int(n_front) < self.opts.init_min_num_inliers:
+            return False
+        # triangulate inliers, check median angle
+        q1 = np.array([1.0, 0, 0, 0])
+        t1 = np.zeros(3)
+        q2 = np.asarray(rops.rotmat_to_quat(R))
+        t2 = np.asarray(t)
+        N = x1p.shape[0]
+        X = np.asarray(tri.triangulate_two_view(
+            jnp.broadcast_to(jnp.asarray(q1), (N, 4)),
+            jnp.broadcast_to(jnp.asarray(t1), (N, 3)),
+            jnp.broadcast_to(jnp.asarray(q2), (N, 4)),
+            jnp.broadcast_to(jnp.asarray(t2), (N, 3)),
+            jnp.asarray(x1p), jnp.asarray(x2p)))
+        inl = np.asarray(res.inliers)
+        from dagsfm_tpu.ops.projection import triangulation_angles
+        ang = np.degrees(np.asarray(triangulation_angles(
+            jnp.broadcast_to(jnp.asarray(q1), (N, 4)),
+            jnp.broadcast_to(jnp.asarray(t1), (N, 3)),
+            jnp.broadcast_to(jnp.asarray(q2), (N, 4)),
+            jnp.broadcast_to(jnp.asarray(t2), (N, 3)),
+            jnp.asarray(X))))
+        z1 = X[:, 2]
+        z2 = (X @ np.asarray(R).T + t2)[:, 2]
+        good = inl & (z1 > 1e-3) & (z2 > 1e-3) & \
+            (ang > self.opts.min_tri_angle_deg)
+        if good.sum() < self.opts.init_min_num_inliers:
+            return False
+        if np.median(ang[good]) < self.opts.init_min_tri_angle_deg:
+            return False
+
+        # commit: register both images + create points
+        imi, imj = self.rec.images[i], self.rec.images[j]
+        imi.qvec, imi.tvec = q1, t1
+        imj.qvec, imj.tvec = q2, t2
+        self.rec.register_image(i)
+        self.rec.register_image(j)
+        for k in np.nonzero(good)[0]:
+            ki, kj = int(m[k, 0]), int(m[k, 1])
+            if imi.point3D_ids[ki] >= 0 or imj.point3D_ids[kj] >= 0:
+                continue
+            self.rec.add_point3D(X[k], [(i, ki), (j, kj)])
+        return True
+
+    # ------------------------------------------------------ next images
+    def find_next_images(self) -> list:
+        """Unregistered images ranked by visible-triangulated-point score.
+
+        Simplified VisibilityPyramid (ref base/visibility_pyramid): score =
+        Σ levels of a coarse-to-fine grid hit by visible points, favouring
+        spatial spread, + count.
+        """
+        reg = set(self.rec.reg_image_ids)
+        scores = []
+        for i, im in self.rec.images.items():
+            if im.registered or i in reg:
+                continue
+            corrs = self.graph.correspondences_of_image(i, others=reg)
+            if len(corrs) == 0:
+                continue
+            vis_kps = set()
+            for kp, j, kj in corrs:
+                pid = self.rec.images[int(j)].point3D_ids[int(kj)]
+                if pid >= 0:
+                    vis_kps.add(int(kp))
+            if not vis_kps:
+                continue
+            cam = self._cam_of(i)
+            pts = self.rec.images[i].xys[sorted(vis_kps)]
+            score = len(vis_kps)
+            for level in (2, 4, 8):  # pyramid levels
+                gx = np.clip((pts[:, 0] / max(cam.width, 1) * level
+                              ).astype(int), 0, level - 1)
+                gy = np.clip((pts[:, 1] / max(cam.height, 1) * level
+                              ).astype(int), 0, level - 1)
+                score += len(set(zip(gx.tolist(), gy.tolist()))) * level
+            # demote images that failed before
+            score /= (1 + self._failed_regs.get(i, 0) * 2)
+            scores.append((score, i))
+        scores.sort(key=lambda s: -s[0])
+        return [i for _, i in scores]
+
+    # ------------------------------------------------- registration
+    def register_next_image(self, image_id: int) -> bool:
+        """2D-3D LORANSAC P3P + refinement + observation insertion."""
+        reg = set(self.rec.reg_image_ids)
+        corrs = self.graph.correspondences_of_image(image_id, others=reg)
+        # keypoint -> set of visible point3D ids
+        kp2pts: dict[int, set] = {}
+        for kp, j, kj in corrs:
+            pid = self.rec.images[int(j)].point3D_ids[int(kj)]
+            if pid >= 0:
+                kp2pts.setdefault(int(kp), set()).add(int(pid))
+        if len(kp2pts) < self.opts.abs_pose_min_num_inliers:
+            self._failed_regs[image_id] = \
+                self._failed_regs.get(image_id, 0) + 1
+            return False
+
+        kp_idx, pids = [], []
+        for kp, pidset in kp2pts.items():
+            for pid in pidset:
+                kp_idx.append(kp)
+                pids.append(pid)
+        kp_idx = np.array(kp_idx)
+        pids = np.array(pids)
+        X = np.stack([self.rec.points3D[p].xyz for p in pids])
+        uv = self._normalize(image_id,
+                             self.rec.images[image_id].xys[kp_idx])
+
+        n = _bucket(len(X))
+        mask = np.zeros(n, bool)
+        mask[: len(X)] = True
+        Xp = _pad_to(X, n)
+        uvp = _pad_to(uv, n)
+        thr = (self.opts.abs_pose_max_error_px / self._focal(image_id)) ** 2
+        res = _ransac_p3p(self._next_key(), jnp.asarray(Xp), jnp.asarray(uvp),
+                          jnp.asarray(mask), thr,
+                          self.opts.num_ransac_hypotheses)
+        n_inl = int(res.num_inliers)
+        if (n_inl < self.opts.abs_pose_min_num_inliers
+                or n_inl < self.opts.abs_pose_min_inlier_ratio
+                * len(kp2pts) * 0.5):
+            self._failed_regs[image_id] = \
+                self._failed_regs.get(image_id, 0) + 1
+            return False
+
+        Rt = np.asarray(res.model)
+        R, t = Rt[:, :3], Rt[:, 3]
+        R2, t2 = ap.refine_pose(jnp.asarray(R), jnp.asarray(t),
+                                jnp.asarray(Xp), jnp.asarray(uvp),
+                                res.inliers)
+        im = self.rec.images[image_id]
+        im.qvec = np.asarray(rops.rotmat_to_quat(R2))
+        im.tvec = np.asarray(t2)
+        self.rec.register_image(image_id)
+
+        # add observations for inlier 2D-3D (continue tracks)
+        inl = np.asarray(res.inliers)[: len(X)]
+        used_kp = set()
+        for k in np.nonzero(inl)[0]:
+            kp = int(kp_idx[k])
+            pid = int(pids[k])
+            if kp in used_kp or im.point3D_ids[kp] >= 0:
+                continue
+            if pid not in self.rec.points3D:
+                continue
+            self.rec.add_observation(pid, image_id, kp)
+            used_kp.add(kp)
+        return True
+
+    # ------------------------------------------------- triangulation
+    def triangulate_image(self, image_id: int) -> int:
+        """Create new points from matches of image_id to registered images.
+
+        Batched two-view DLT + checks (angle, reprojection, cheirality);
+        ref IncrementalTriangulator::TriangulateImage + Create/Continue.
+        """
+        im_i = self.rec.images[image_id]
+        if not im_i.registered:
+            return 0
+        reg = set(self.rec.reg_image_ids) - {image_id}
+        cand = []  # (j, ki, kj)
+        for kp, j, kj in self.graph.correspondences_of_image(
+                image_id, others=reg):
+            ki, j, kj = int(kp), int(j), int(kj)
+            pid_i = im_i.point3D_ids[ki]
+            pid_j = self.rec.images[j].point3D_ids[kj]
+            if pid_i >= 0 and pid_j >= 0:
+                if pid_i != pid_j:
+                    pass  # merge candidate — handled in merge_tracks
+                continue
+            if pid_i < 0 and pid_j >= 0:
+                continue  # handled at registration (continue track)
+            if pid_i >= 0 and pid_j < 0:
+                # continue track into j
+                pid = int(pid_i)
+                if pid in self.rec.points3D and \
+                        self._obs_ok(j, kj, self.rec.points3D[pid].xyz):
+                    self.rec.add_observation(pid, j, kj)
+                continue
+            cand.append((j, ki, kj))
+        if not cand:
+            return 0
+
+        cand = np.array(cand)
+        x1 = self._normalize(image_id, im_i.xys[cand[:, 1]])
+        q1 = np.broadcast_to(im_i.qvec, (len(cand), 4))
+        t1 = np.broadcast_to(im_i.tvec, (len(cand), 3))
+        q2 = np.stack([self.rec.images[int(j)].qvec for j in cand[:, 0]])
+        t2 = np.stack([self.rec.images[int(j)].tvec for j in cand[:, 0]])
+        x2 = np.stack([
+            self._normalize(int(j), self.rec.images[int(j)].xys[int(kj)]
+                            [None])[0]
+            for j, _, kj in cand])
+
+        n = _bucket(len(cand))
+        X = np.asarray(_triangulate_checked(
+            jnp.asarray(_pad_to(q1, n)), jnp.asarray(_pad_to(t1, n)),
+            jnp.asarray(_pad_to(q2, n)), jnp.asarray(_pad_to(t2, n)),
+            jnp.asarray(_pad_to(x1, n)), jnp.asarray(_pad_to(x2, n))))
+        X, ang, e1, e2, z1, z2 = (X[:, :3], X[:, 3], X[:, 4], X[:, 5],
+                                  X[:, 6], X[:, 7])
+        thr = self.opts.tri_max_reproj_error_px / self._focal(image_id)
+        good = ((ang > np.radians(self.opts.min_tri_angle_deg))
+                & (e1 < thr ** 2) & (e2 < thr ** 2)
+                & (z1 > 1e-4) & (z2 > 1e-4))[: len(cand)]
+
+        created = 0
+        for k in np.nonzero(good)[0]:
+            j, ki, kj = (int(cand[k, 0]), int(cand[k, 1]), int(cand[k, 2]))
+            if im_i.point3D_ids[ki] >= 0:
+                # track already created this round by an earlier pair:
+                # continue it into j instead
+                pid = int(im_i.point3D_ids[ki])
+                if self.rec.images[j].point3D_ids[kj] < 0 and \
+                        pid in self.rec.points3D:
+                    self.rec.add_observation(pid, j, kj)
+                continue
+            if self.rec.images[j].point3D_ids[kj] >= 0:
+                continue
+            self.rec.add_point3D(X[k], [(image_id, ki), (j, kj)])
+            created += 1
+        return created
+
+    def _obs_ok(self, image_id: int, kp: int, xyz: np.ndarray) -> bool:
+        im = self.rec.images[image_id]
+        Rcw = rops.quat_to_rotmat_np(im.qvec)
+        Xc = Rcw @ xyz + im.tvec
+        if Xc[2] < 1e-4:
+            return False
+        uv = self._normalize(image_id, im.xys[kp][None])[0]
+        err = np.linalg.norm(Xc[:2] / Xc[2] - uv) * self._focal(image_id)
+        return err < self.opts.tri_max_reproj_error_px
+
+    # ------------------------------------------------- bundle adjustment
+    def _run_ba(self, image_ids: list, max_iterations: int,
+                const_images: set):
+        """BA over the given registered images (+ their points)."""
+        id_list = sorted(set(image_ids))
+        # observations only for selected images; points referenced by ≥2
+        pids = set()
+        for i in id_list:
+            for pid in self.rec.images[i].point3D_ids:
+                if pid >= 0:
+                    pids.add(int(pid))
+        arrays, ids = _export_sub_arrays(self.rec, id_list, sorted(pids))
+        if arrays is None:
+            return
+        cam_ids, img_ids, pt_ids = ids
+        # arrays.image_* are bucket-padded beyond len(img_ids): pads are
+        # constant (identity) cameras with no observations
+        const = np.ones(arrays.image_qvec.shape[0], bool)
+        for k, i in enumerate(img_ids):
+            const[k] = i in const_images
+        if const[: len(img_ids)].sum() == 0 and len(img_ids) >= 2:
+            const[:2] = True
+        prob = ba.make_problem(arrays, max_track_len=self.opts.max_track_len,
+                               const_image=const)
+        opts = ba.BAOptions(max_iterations=max_iterations, loss="cauchy",
+                            loss_scale=1.0)
+        prob, stats = _jit_ba_solve(prob, opts)
+        # write back
+        q = np.asarray(prob.image_qvec)
+        t = np.asarray(prob.image_tvec)
+        X = np.asarray(prob.points)
+        for k, i in enumerate(img_ids):
+            self.rec.images[i].qvec = q[k]
+            self.rec.images[i].tvec = t[k]
+        for k, p in enumerate(pt_ids):
+            if p in self.rec.points3D:
+                self.rec.points3D[p].xyz = X[k]
+
+    def adjust_local_bundle(self, image_id: int):
+        """BA over the most-connected registered neighbors (ref :563)."""
+        # connectivity = shared 3D points
+        shared: dict[int, int] = {}
+        im = self.rec.images[image_id]
+        for pid in im.point3D_ids:
+            if pid < 0 or int(pid) not in self.rec.points3D:
+                continue
+            for (j, _) in self.rec.points3D[int(pid)].track:
+                if j != image_id:
+                    shared[j] = shared.get(j, 0) + 1
+        local = sorted(shared, key=lambda j: -shared[j])
+        local = local[: self.opts.local_ba_num_images - 1] + [image_id]
+        # anchor: all *other* registered images stay fixed implicitly by
+        # fixing the two most-connected local images
+        const = set(local[:2]) - {image_id}
+        if not const:
+            const = set(local[:1])
+        self._run_ba(local, self.opts.ba_local_max_iterations, const)
+
+    def adjust_global_bundle(self):
+        reg = self.rec.reg_image_ids
+        if len(reg) < 2:
+            return
+        const = set(reg[:2])
+        self._run_ba(reg, self.opts.ba_global_max_iterations, const)
+        self._num_reg_at_last_global_ba = len(reg)
+        self._num_pts_at_last_global_ba = self.rec.num_points3D()
+
+    def needs_global_ba(self) -> bool:
+        growth_i = self.rec.num_reg_images() / max(
+            self._num_reg_at_last_global_ba, 1)
+        growth_p = self.rec.num_points3D() / max(
+            self._num_pts_at_last_global_ba, 1)
+        return (growth_i > self.opts.ba_global_images_ratio
+                or growth_p > self.opts.ba_global_points_ratio)
+
+    # ------------------------------------------------- filtering
+    def filter_points(self) -> int:
+        """Drop observations/points with large error or tiny angle
+        (ref FilterPoints -> Reconstruction::FilterPoints3D).
+
+        Fully vectorized on host: one pass builds flat per-observation
+        arrays; only the (few) offending observations touch dict state.
+        """
+        pids = list(self.rec.points3D.keys())
+        if not pids:
+            return 0
+        # precompute per-image pose / calib
+        img_ids = self.rec.reg_image_ids
+        img_index = {i: k for k, i in enumerate(img_ids)}
+        R_all = rops.quat_to_rotmat_np(
+            np.stack([self.rec.images[i].qvec for i in img_ids]))
+        t_all = np.stack([self.rec.images[i].tvec for i in img_ids])
+        C_all = -np.einsum("nij,ni->nj", R_all, t_all)
+        foc = np.array([self._focal(i) for i in img_ids])
+
+        obs_pid, obs_img, obs_kp = [], [], []
+        pt_index = {}
+        X_list = []
+        for pid in pids:
+            pt = self.rec.points3D[pid]
+            pt_index[pid] = len(X_list)
+            X_list.append(pt.xyz)
+            for (i, kp) in pt.track:
+                obs_pid.append(pid)
+                obs_img.append(img_index[i])
+                obs_kp.append(kp)
+        X = np.stack(X_list)
+        oi = np.array(obs_img)
+        op = np.array([pt_index[p] for p in obs_pid])
+        Xc = np.einsum("nij,nj->ni", R_all[oi], X[op]) + t_all[oi]
+        uv_obs = np.stack([
+            self._normalize(img_ids[i], self.rec.images[img_ids[i]]
+                            .xys[kp][None])[0]
+            for i, kp in zip(obs_img, obs_kp)])
+        z = Xc[:, 2]
+        behind = z < 1e-4
+        zs = np.where(np.abs(z) < 1e-12, 1e-12, z)
+        err = np.linalg.norm(Xc[:, :2] / zs[:, None] - uv_obs, axis=1) \
+            * foc[oi]
+        bad = behind | (err > self.opts.filter_max_reproj_error_px)
+
+        removed = 0
+        for n in np.nonzero(bad)[0]:
+            pid = obs_pid[n]
+            if pid in self.rec.points3D:
+                i = img_ids[obs_img[n]]
+                kp = obs_kp[n]
+                # observation may already be gone via point deletion
+                if (i, kp) in self.rec.points3D[pid].track or \
+                        any(t == (i, kp) for t in self.rec.points3D[pid].track):
+                    self.rec.delete_observation(pid, i, kp)
+        removed += sum(1 for p in pids if p not in self.rec.points3D)
+
+        # angle filter: max pairwise angle per surviving track (vectorized
+        # over padded track blocks)
+        alive = [p for p in pids if p in self.rec.points3D]
+        if alive:
+            T = max(len(self.rec.points3D[p].track) for p in alive)
+            P = len(alive)
+            dirs = np.zeros((P, T, 3))
+            dmask = np.zeros((P, T), bool)
+            for a, pid in enumerate(alive):
+                pt = self.rec.points3D[pid]
+                for b, (i, _) in enumerate(pt.track):
+                    dirs[a, b] = C_all[img_index[i]] - pt.xyz
+                    dmask[a, b] = True
+            norm = np.linalg.norm(dirs, axis=-1)
+            dn = dirs / np.where(norm < 1e-12, 1.0, norm)[..., None]
+            cos = np.einsum("ptk,psk->pts", dn, dn)
+            pairm = dmask[:, :, None] & dmask[:, None, :]
+            cos = np.where(pairm, cos, 1.0)
+            min_cos = cos.min(axis=(1, 2))
+            max_ang = np.degrees(np.arccos(np.clip(min_cos, -1, 1)))
+            for a in np.nonzero(
+                    max_ang < self.opts.filter_min_tri_angle_deg)[0]:
+                self.rec.delete_point3D(alive[a])
+                removed += 1
+
+        # refresh per-point mean errors for survivors
+        ok = ~bad
+        for n in np.nonzero(ok)[0]:
+            pid = obs_pid[n]
+            pt = self.rec.points3D.get(pid)
+            if pt is not None and pt.error < 0:
+                pt.error = 0.0
+        sums: dict = {}
+        cnts: dict = {}
+        for n in np.nonzero(ok)[0]:
+            pid = obs_pid[n]
+            if pid in self.rec.points3D:
+                sums[pid] = sums.get(pid, 0.0) + err[n]
+                cnts[pid] = cnts.get(pid, 0) + 1
+        for pid, s in sums.items():
+            self.rec.points3D[pid].error = s / cnts[pid]
+        return removed
+
+    # ------------------------------------------------- main loop
+    def reconstruct(self, callback=None) -> Reconstruction:
+        """Full incremental pipeline (ref controller Reconstruct loop)."""
+        pair = self.find_initial_pair()
+        if pair is None:
+            return self.rec
+        i0, j0 = pair
+        self.triangulate_image(i0)
+        self.triangulate_image(j0)
+        self.adjust_global_bundle()
+        self.filter_points()
+
+        stall = 0
+        while stall < 2:
+            nxt = self.find_next_images()
+            if not nxt:
+                break
+            progressed = False
+            for image_id in nxt[:5]:
+                if self.register_next_image(image_id):
+                    self.triangulate_image(image_id)
+                    self.adjust_local_bundle(image_id)
+                    if self.needs_global_ba():
+                        self.adjust_global_bundle()
+                        self.filter_points()
+                    progressed = True
+                    if callback is not None:
+                        callback(self)
+                    break
+            stall = 0 if progressed else stall + 1
+        self.adjust_global_bundle()
+        self.filter_points()
+        self.adjust_global_bundle()
+        return self.rec
+
+
+# ---------------------------------------------------------------------------
+# jitted helpers (module-level so compile cache is shared across mappers)
+# ---------------------------------------------------------------------------
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("num_hyps",))
+def _ransac_essential(key, x1, x2, mask, thr, num_hyps):
+    return rnsc.ransac(
+        key, solver=epi.essential_5pt, residual_fn=epi.sampson_error,
+        data=(x1, x2), mask=mask, sample_size=5, threshold=thr,
+        num_hypotheses=num_hyps,
+        refit=lambda a, b, inl: epi.essential_8pt(a, b, mask=inl)[0][0])
+
+
+@functools.partial(jax.jit, static_argnames=("num_hyps",))
+def _ransac_p3p(key, X, uv, mask, thr, num_hyps):
+    def solver(Xs, uvs):
+        Rs, ts, ok = ap.p3p(Xs, uvs)
+        return jnp.concatenate([Rs, ts[:, :, None]], axis=-1), ok
+
+    def residual(M, Xd, uvd):
+        return ap.pose_reproj_error(M[:, :3], M[:, 3], Xd, uvd)
+
+    def refit(Xd, uvd, inl):
+        R, t, _ = ap.epnp(Xd, uvd, mask=inl)
+        return jnp.concatenate([R, t[:, None]], axis=-1)
+
+    return rnsc.ransac(key, solver=solver, residual_fn=residual,
+                       data=(X, uv), mask=mask, sample_size=3, threshold=thr,
+                       num_hypotheses=num_hyps, refit=refit)
+
+
+@jax.jit
+def _triangulate_checked(q1, t1, q2, t2, x1, x2):
+    """Two-view triangulation + quality stats, one fused call.
+
+    Returns (N, 8): xyz, tri_angle(rad), reproj_err1², reproj_err2²
+    (normalized coords), depth1, depth2.
+    """
+    from dagsfm_tpu.ops.projection import triangulation_angles
+    X = tri.triangulate_two_view(q1, t1, q2, t2, x1, x2)
+    ang = triangulation_angles(q1, t1, q2, t2, X)
+    Xc1 = rops.quat_rotate(q1, X) + t1
+    Xc2 = rops.quat_rotate(q2, X) + t2
+    z1 = Xc1[:, 2]
+    z2 = Xc2[:, 2]
+    zs1 = jnp.where(jnp.abs(z1) < 1e-12, 1e-12, z1)
+    zs2 = jnp.where(jnp.abs(z2) < 1e-12, 1e-12, z2)
+    e1 = jnp.sum((Xc1[:, :2] / zs1[:, None] - x1) ** 2, -1)
+    e2 = jnp.sum((Xc2[:, :2] / zs2[:, None] - x2) ** 2, -1)
+    return jnp.concatenate([X, ang[:, None], e1[:, None], e2[:, None],
+                            z1[:, None], z2[:, None]], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def _jit_ba_solve(prob, opts):
+    return ba.solve(prob, opts)
+
+
+def _export_sub_arrays(rec: Reconstruction, image_ids: list, point_ids: list):
+    """SceneArrays for a subset of images/points, bucket-padded."""
+    from dagsfm_tpu.scene.reconstruction import SceneArrays
+    img_set = set(image_ids)
+    cam_ids = sorted({rec.images[i].camera_id for i in image_ids})
+    cam_index = {c: k for k, c in enumerate(cam_ids)}
+    img_index = {i: k for k, i in enumerate(image_ids)}
+
+    C = len(cam_ids)
+    I = _bucket(len(image_ids), 8)   # bucket image count to limit recompiles
+    cam_model_id = np.array([rec.cameras[c].model_id for c in cam_ids],
+                            np.int32)
+    cam_params = np.zeros((C, cm.MAX_CAMERA_PARAMS))
+    for k, c in enumerate(cam_ids):
+        p = np.asarray(rec.cameras[c].params)
+        cam_params[k, : len(p)] = p
+    image_qvec = np.zeros((I, 4))
+    image_qvec[:, 0] = 1.0
+    image_tvec = np.zeros((I, 3))
+    image_camidx = np.zeros(I, np.int32)
+    for k, i in enumerate(image_ids):
+        image_qvec[k] = rec.images[i].qvec
+        image_tvec[k] = rec.images[i].tvec
+        image_camidx[k] = cam_index[rec.images[i].camera_id]
+    image_mask = np.zeros(I, bool)
+    image_mask[: len(image_ids)] = True
+
+    pts, pt_keep = [], []
+    obs = []
+    for p in point_ids:
+        pt = rec.points3D.get(p)
+        if pt is None:
+            continue
+        track = [(i, kp) for (i, kp) in pt.track if i in img_set]
+        if len(track) < 2:
+            continue
+        pidx = len(pts)
+        pts.append(pt.xyz)
+        pt_keep.append(p)
+        for (i, kp) in track:
+            obs.append((img_index[i], pidx, rec.images[i].xys[kp]))
+    if len(pts) == 0 or len(obs) == 0:
+        return None, None
+    P = _bucket(len(pts), 16)
+    N = _bucket(len(obs), 64)
+    points_xyz = _pad_to(np.stack(pts), P)
+    points_mask = np.zeros(P, bool)
+    points_mask[: len(pts)] = True
+    obs_image = np.zeros(N, np.int32)
+    obs_point = np.zeros(N, np.int32)
+    obs_xy = np.zeros((N, 2))
+    obs_mask = np.zeros(N, bool)
+    for n, (ii, pp, xy) in enumerate(obs):
+        obs_image[n], obs_point[n], obs_xy[n] = ii, pp, xy
+        obs_mask[n] = True
+
+    arrays = SceneArrays(cam_model_id, cam_params, image_qvec, image_tvec,
+                         image_camidx, image_mask, points_xyz, points_mask,
+                         obs_image, obs_point, obs_xy, obs_mask)
+    return arrays, (cam_ids, image_ids, pt_keep)

@@ -1,0 +1,106 @@
+"""BA tests: noisy synthetic scenes must converge to ground truth.
+
+Mirrors reference optim/bundle_adjustment_test.cc but with the closed-loop
+synthetic backbone (known GT -> perturb -> solve -> compare).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dagsfm_tpu.ops import rotations as rops
+from dagsfm_tpu.scene import synthetic
+from dagsfm_tpu.sfm import bundle_adjustment as ba
+
+
+def perturbed_problem(seed=0, num_cameras=10, num_points=150,
+                      pose_noise=0.01, point_noise=0.05, pixel_noise=0.0,
+                      **kw):
+    spec = synthetic.SyntheticSceneSpec(
+        num_cameras=num_cameras, num_points=num_points,
+        pixel_noise=pixel_noise, seed=seed)
+    sc = synthetic.generate(spec)
+    rec = synthetic.to_reconstruction(sc)
+    arrays, ids = rec.to_arrays()
+
+    rng = np.random.default_rng(seed + 1)
+    qvec = np.array(arrays.image_qvec)
+    tvec = np.array(arrays.image_tvec)
+    pts = np.array(arrays.points_xyz)
+    # perturb all but the first two cameras (gauge anchors)
+    for i in range(2, len(qvec)):
+        daa = rng.normal(0, pose_noise, 3)
+        dq = np.asarray(rops.angleaxis_to_quat(jnp.asarray(daa)))
+        qvec[i] = np.asarray(rops.quat_multiply(jnp.asarray(dq),
+                                                jnp.asarray(qvec[i])))
+        tvec[i] += rng.normal(0, pose_noise * 5, 3)
+    pts += rng.normal(0, point_noise, pts.shape)
+
+    arrays = arrays._replace(image_qvec=qvec, image_tvec=tvec,
+                             points_xyz=pts)
+    const_image = np.zeros(len(qvec), bool)
+    const_image[:2] = True  # fix gauge
+    prob = ba.make_problem(arrays, const_image=const_image, **kw)
+    return prob, sc, arrays
+
+
+class TestBundleAdjustment:
+    def test_converges_exact_observations(self):
+        prob, sc, _ = perturbed_problem(seed=0)
+        before = float(ba.mean_reproj_error_px(prob))
+        assert before > 1.0  # perturbation visible
+        opts = ba.BAOptions(max_iterations=25, loss="trivial")
+        prob2, stats = jax.jit(
+            lambda p: ba.solve(p, opts))(prob)
+        after = float(ba.mean_reproj_error_px(prob2))
+        assert after < 1e-4, (before, after)
+        assert float(stats.final_cost) < float(stats.initial_cost) * 1e-6
+
+    def test_converges_with_pixel_noise(self):
+        prob, sc, _ = perturbed_problem(seed=1, pixel_noise=0.5)
+        opts = ba.BAOptions(max_iterations=25, loss="trivial")
+        prob2, stats = ba.solve(prob, opts)
+        after = float(ba.mean_reproj_error_px(prob2))
+        # converged to noise floor (~0.5px)
+        assert after < 0.7, after
+
+    def test_robust_loss_downweights_outliers(self):
+        prob, sc, arrays = perturbed_problem(seed=2, pixel_noise=0.2)
+        # corrupt 10% of observations
+        rng = np.random.default_rng(0)
+        xy = np.array(prob.obs_xy)
+        n = xy.shape[0]
+        out = rng.random(n) < 0.10
+        xy[out] += rng.uniform(20, 80, (out.sum(), 2))
+        prob = prob._replace(obs_xy=jnp.asarray(xy))
+        opts = ba.BAOptions(max_iterations=30, loss="cauchy", loss_scale=1.0)
+        prob2, _ = ba.solve(prob, opts)
+        # inlier reprojection error must reach the noise floor
+        from dagsfm_tpu.ops import projection
+        q = prob2.image_qvec[prob2.obs_image]
+        t = prob2.image_tvec[prob2.obs_image]
+        X = prob2.points[prob2.obs_point]
+        Xc = np.asarray(jax.vmap(rops.quat_rotate)(q, X) + t)
+        f, cx, cy = sc.camera.params
+        proj = Xc[:, :2] / Xc[:, 2:] * f + np.array([cx, cy])
+        err = np.linalg.norm(proj - xy, axis=1)
+        inl_err = err[~out & np.asarray(prob2.obs_mask)]
+        assert np.mean(inl_err) < 0.5, np.mean(inl_err)
+
+    def test_gauge_fixed_cameras_unchanged(self):
+        prob, _, _ = perturbed_problem(seed=3)
+        q0 = np.array(prob.image_qvec[:2])
+        t0 = np.array(prob.image_tvec[:2])
+        prob2, _ = ba.solve(prob, ba.BAOptions(max_iterations=10))
+        np.testing.assert_allclose(prob2.image_qvec[:2], q0, atol=1e-12)
+        np.testing.assert_allclose(prob2.image_tvec[:2], t0, atol=1e-12)
+
+    def test_pose_accuracy_vs_ground_truth(self):
+        prob, sc, _ = perturbed_problem(seed=4, pose_noise=0.02,
+                                        point_noise=0.1)
+        prob2, _ = ba.solve(prob, ba.BAOptions(max_iterations=30,
+                                               loss="trivial"))
+        R_est = np.asarray(rops.quat_to_rotmat(prob2.image_qvec))
+        ang = np.asarray(rops.rotation_angle_deg(jnp.asarray(sc.R),
+                                                 jnp.asarray(R_est)))
+        assert ang.max() < 0.01, ang.max()
