@@ -1,0 +1,178 @@
+"""Robust global rotation averaging: L1-IRLS over a matrix-free CG solver.
+
+TPU-native counterpart of /root/reference/src/rotation_estimation/
+robust_rotation_estimator.{h,cpp} (Theia-style L1 phase then IRLS phase,
+:85-160) — but instead of CHOLMOD on a sparse normal matrix, the graph
+Laplacian system (L ⊗ I₃) dω = b is solved matrix-free by Jacobi-
+preconditioned conjugate gradient whose mat-vec is two segment_sums over
+the edge list. Everything (residual log-maps, IRLS weights, CG) runs as
+one jitted fixed-iteration program; the only host part is spanning-tree
+initialization.
+
+Convention (COLMAP): R_j = R_ij @ R_i with world->cam rotations. The
+first camera is gauge-pinned (ref robust_rotation_estimator.cpp:107-120).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dagsfm_tpu.ops import rotations as rops
+
+
+class RAOptions(NamedTuple):
+    l1_iterations: int = 10         # ref: options_.max_num_l1_iterations (5)
+    irls_iterations: int = 100      # ref: max_num_irls_iterations (100)
+    cg_iterations: int = 50
+    sigma_deg: float = 5.0          # ref: irls_loss_parameter_sigma
+
+
+def spanning_tree_init(num_images: int, edges: np.ndarray,
+                       rel_rot: np.ndarray) -> np.ndarray:
+    """BFS spanning-tree composition for initial global rotations.
+
+    edges (E, 2) int, rel_rot (E, 3, 3) with R_j = R_ij R_i.
+    Returns (I, 3, 3). Host-side (graph-shaped).
+    """
+    adj: dict[int, list] = {}
+    for e, (i, j) in enumerate(edges):
+        adj.setdefault(int(i), []).append((int(j), e, False))
+        adj.setdefault(int(j), []).append((int(i), e, True))
+    R = np.tile(np.eye(3), (num_images, 1, 1))
+    seen = {0}
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        for (j, e, inv) in adj.get(i, ()):  # R_j = R_ij R_i
+            if j in seen:
+                continue
+            seen.add(j)
+            Rij = rel_rot[e].T if inv else rel_rot[e]
+            R[j] = Rij @ R[i]
+            stack.append(j)
+    return R
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "num_images"))
+def _solve_ra(R_init, edges, rel_rot, opts: RAOptions, num_images: int):
+    I = num_images
+    dtype = R_init.dtype
+    src = edges[:, 0]
+    dst = edges[:, 1]
+    q = rops.rotmat_to_quat(R_init)                     # (I, 4)
+    q_rel = rops.rotmat_to_quat(rel_rot)                # (E, 4)
+
+    def residuals(q):
+        # Chatterjee-Govindu body-frame residual e = log(R_j^T M_ij R_i):
+        # with updates R_k <- R_k exp(d_k) the first-order model is exactly
+        # e' = e + d_i - d_j (Jacobians +-I), which the Laplacian solve
+        # assumes. (A world-frame residual here would need rotation-valued
+        # Jacobians and diverges under IRLS.)
+        qi = q[src]
+        qj = q[dst]
+        q_err = rops.quat_multiply(
+            rops.quat_conjugate(qj), rops.quat_multiply(q_rel, qi))
+        return rops.quat_to_angleaxis(q_err)            # (E, 3)
+
+    def cg_solve(w, b):
+        """Solve (L ⊗ I3) x = b with L the weighted Laplacian; x (I,3)."""
+        deg = jax.ops.segment_sum(w, src, I) + \
+            jax.ops.segment_sum(w, dst, I)              # (I,)
+        # pin gauge: node 0 fixed -> huge diagonal
+        deg = deg.at[0].add(1e8)
+
+        def matvec(x):
+            diff_s = x[src] - x[dst]
+            contrib_s = jax.ops.segment_sum(w[:, None] * diff_s, src, I)
+            contrib_d = jax.ops.segment_sum(-w[:, None] * diff_s, dst, I)
+            out = contrib_s + contrib_d
+            return out.at[0].add(1e8 * x[0])
+
+        Minv = 1.0 / jnp.maximum(deg, 1e-12)
+
+        def body(carry, _):
+            x, r, z, p, rz = carry
+            Ap = matvec(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-18)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = r * Minv[:, None]
+            rz_new = jnp.sum(r * z)
+            beta = rz_new / jnp.maximum(rz, 1e-18)
+            p = z + beta * p
+            return (x, r, z, p, rz_new), None
+
+        x0 = jnp.zeros((I, 3), dtype)
+        r0 = b
+        z0 = r0 * Minv[:, None]
+        (x, *_), _ = jax.lax.scan(
+            body, (x0, r0, z0, z0, jnp.sum(r0 * z0)), None,
+            length=opts.cg_iterations)
+        return x
+
+    def step(q, w):
+        e = residuals(q)
+        # solve LS for d with d_j - d_i = e per edge -> Laplacian system
+        b = -(jax.ops.segment_sum(w[:, None] * e, src, I)
+              - jax.ops.segment_sum(w[:, None] * e, dst, I))
+        dw = cg_solve(w, b)
+        dq = rops.angleaxis_to_quat(dw)
+        # body-frame update: R <- R exp(d)  (right multiplication)
+        return rops.quat_normalize(rops.quat_multiply(q, dq))
+
+    sigma = jnp.asarray(np.radians(opts.sigma_deg), dtype)
+
+    def l1_body(q, _):
+        e = residuals(q)
+        nrm = jnp.linalg.norm(e, axis=-1)
+        w = 1.0 / jnp.maximum(nrm, 1e-5)        # IRLS-for-L1 weights
+        return step(q, w), None
+
+    q, _ = jax.lax.scan(l1_body, q, None, length=opts.l1_iterations)
+
+    def irls_body(q, _):
+        e = residuals(q)
+        nrm2 = jnp.sum(e * e, axis=-1)
+        # Geman-McClure-ish weight used by Theia IRLS: w = (s^2/(n^2+s^2))^2
+        w = (sigma ** 2 / (nrm2 + sigma ** 2)) ** 2
+        return step(q, w), None
+
+    q, _ = jax.lax.scan(irls_body, q, None, length=opts.irls_iterations)
+    return rops.quat_to_rotmat(q)
+
+
+def estimate_rotations(num_images: int, edges: np.ndarray,
+                       rel_rot: np.ndarray,
+                       opts: RAOptions = RAOptions()) -> np.ndarray:
+    """Full pipeline: spanning-tree init + jitted L1-IRLS refinement.
+
+    edges (E, 2) int32 indices into [0, num_images); rel_rot (E, 3, 3).
+    Returns (I, 3, 3) global rotations with R[0] = identity-gauge.
+    """
+    R0 = spanning_tree_init(num_images, edges, rel_rot)
+    R = _solve_ra(jnp.asarray(R0), jnp.asarray(edges, jnp.int32),
+                  jnp.asarray(rel_rot), opts, num_images)
+    R = np.asarray(R)
+    # re-anchor: R[0] -> identity
+    return np.einsum("nij,kj->nik", R, R[0])
+
+
+def filter_pairs_from_orientation(edges: np.ndarray, rel_rot: np.ndarray,
+                                  global_R: np.ndarray,
+                                  max_angle_deg: float = 5.0) -> np.ndarray:
+    """Keep mask for pairs consistent with averaged global rotations.
+
+    Ref: sfm/filter_view_pairs_from_orientation.h:22-30 (5 deg at
+    distributed_mapper_controller.cpp:996). One batched device call.
+    """
+    Ri = jnp.asarray(global_R)[edges[:, 0]]
+    Rj = jnp.asarray(global_R)[edges[:, 1]]
+    R_est = Rj @ jnp.swapaxes(Ri, -1, -2)
+    ang = rops.rotation_angle_deg(jnp.asarray(rel_rot), R_est)
+    return np.asarray(ang) < max_angle_deg

@@ -1,0 +1,369 @@
+"""Distributed Schur-complement bundle adjustment over a device mesh.
+
+The BASELINE.json north-star kernel: replaces BOTH the reference's
+single-node Ceres final BA (/root/reference/src/controllers/
+distributed_mapper_controller.cpp:836-933) and its PBA CUDA offload
+(optim/bundle_adjustment.cc:556-640) with an SPMD program:
+
+  * observations are sharded BY POINT over the mesh ('d' axis): every
+    track lives wholly on one device, so the point blocks V, the point
+    gradient gp, and the per-point Schur outer products are device-local
+    (zero communication).
+  * camera-side blocks (U, gc) and the reduced camera system S are
+    partial-summed locally then combined with ONE psum per LM iteration —
+    the only ICI traffic, O(I² · 36) floats, riding the all-reduce.
+  * the reduced solve runs replicated on every device (cheap: I ≤ a few
+    hundred per merged scene); point back-substitution is local again.
+
+This is the scaling-book recipe: pick mesh, shard the big axis (tracks),
+let the collective carry the small reduced system. Scaling efficiency
+target ≥ 0.8 (BASELINE.md) holds as long as per-device track count keeps
+the VPU busy relative to the psum of S.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dagsfm_tpu.ops import rotations as rops
+from dagsfm_tpu.scene import cameras as cm
+from dagsfm_tpu.sfm import bundle_adjustment as ba
+
+
+class ShardedBAProblem(NamedTuple):
+    """BA problem with point/observation data sharded over devices.
+
+    Leading axis D = num devices on sharded fields; replicated fields
+    carry no leading device axis.
+    """
+    # replicated
+    image_qvec: jax.Array     # (I, 4)
+    image_tvec: jax.Array     # (I, 3)
+    image_camidx: jax.Array   # (I,)
+    cam_model_id: jax.Array   # (C,)
+    cam_params: jax.Array     # (C, MAX)
+    const_image: jax.Array    # (I,)
+    # sharded by device (leading axis D)
+    points: jax.Array         # (D, Pd, 3)
+    points_mask: jax.Array    # (D, Pd)
+    obs_image: jax.Array      # (D, Nd)
+    obs_point: jax.Array      # (D, Nd) — local point index within shard
+    obs_xy: jax.Array         # (D, Nd, 2)
+    obs_mask: jax.Array       # (D, Nd)
+    trk_obs: jax.Array        # (D, Pd, T) — local obs index within shard
+    trk_mask: jax.Array       # (D, Pd, T)
+
+
+def shard_problem(arrays, num_devices: int, max_track_len: int = 16,
+                  const_image=None, dtype=jnp.float64) -> ShardedBAProblem:
+    """Partition a SceneArrays by point onto `num_devices` shards.
+
+    Points are assigned round-robin by track size (greedy balance); each
+    shard is padded to the common (Pd, Nd) bucket.
+    """
+    from dagsfm_tpu.parallel.mesh import partition_balanced
+
+    P_ = arrays.points_xyz.shape[0]
+    op = np.asarray(arrays.obs_point)
+    om = np.asarray(arrays.obs_mask)
+    # track length per point
+    tlen = np.bincount(op[om], minlength=P_)
+    assign = partition_balanced(np.maximum(tlen, 1), num_devices)
+
+    # per-shard local indices
+    Pd = int(np.ceil(P_ / num_devices))
+    Nd = 0
+    shard_pts = [np.nonzero(assign == d)[0] for d in range(num_devices)]
+    Pd = max(len(s) for s in shard_pts)
+    obs_by_shard = []
+    for d in range(num_devices):
+        sel = np.isin(op, shard_pts[d]) & om
+        obs_by_shard.append(np.nonzero(sel)[0])
+        Nd = max(Nd, len(obs_by_shard[d]))
+    # bucket
+    def _b(n, m=8):
+        b = m
+        while b < n:
+            b *= 2
+        return b
+    Pd = _b(Pd)
+    Nd = _b(Nd, 64)
+
+    D = num_devices
+    points = np.zeros((D, Pd, 3))
+    pmask = np.zeros((D, Pd), bool)
+    obs_image = np.zeros((D, Nd), np.int32)
+    obs_point = np.zeros((D, Nd), np.int32)
+    obs_xy = np.zeros((D, Nd, 2))
+    obs_mask = np.zeros((D, Nd), bool)
+    trk_obs = np.zeros((D, Pd, max_track_len), np.int32)
+    trk_mask = np.zeros((D, Pd, max_track_len), bool)
+
+    oi = np.asarray(arrays.obs_image)
+    oxy = np.asarray(arrays.obs_xy)
+    for d in range(D):
+        local_pt = {p: k for k, p in enumerate(shard_pts[d])}
+        points[d, : len(shard_pts[d])] = \
+            np.asarray(arrays.points_xyz)[shard_pts[d]]
+        pmask[d, : len(shard_pts[d])] = True
+        fill = np.zeros(Pd, np.int32)
+        for n_local, n in enumerate(obs_by_shard[d]):
+            obs_image[d, n_local] = oi[n]
+            lp = local_pt[op[n]]
+            obs_point[d, n_local] = lp
+            obs_xy[d, n_local] = oxy[n]
+            obs_mask[d, n_local] = True
+            k = fill[lp]
+            if k < max_track_len:
+                trk_obs[d, lp, k] = n_local
+                trk_mask[d, lp, k] = True
+                fill[lp] = k + 1
+
+    I = arrays.image_qvec.shape[0]
+    if const_image is None:
+        const_image = np.zeros(I, bool)
+        const_image[:2] = True
+
+    return ShardedBAProblem(
+        jnp.asarray(arrays.image_qvec, dtype),
+        jnp.asarray(arrays.image_tvec, dtype),
+        jnp.asarray(arrays.image_camidx),
+        jnp.asarray(arrays.cam_model_id),
+        jnp.asarray(arrays.cam_params, dtype),
+        jnp.asarray(const_image),
+        jnp.asarray(points, dtype), jnp.asarray(pmask),
+        jnp.asarray(obs_image), jnp.asarray(obs_point),
+        jnp.asarray(obs_xy, dtype), jnp.asarray(obs_mask),
+        jnp.asarray(trk_obs), jnp.asarray(trk_mask),
+    ), shard_pts
+
+
+def place(prob: ShardedBAProblem, mesh: Mesh) -> ShardedBAProblem:
+    """Put sharded fields on the mesh ('d' on the leading axis)."""
+    sh = NamedSharding(mesh, P("d"))
+    rep = NamedSharding(mesh, P())
+    rep_fields = {"image_qvec", "image_tvec", "image_camidx",
+                  "cam_model_id", "cam_params", "const_image"}
+    out = {}
+    for name, val in prob._asdict().items():
+        out[name] = jax.device_put(
+            val, rep if name in rep_fields else sh)
+    return ShardedBAProblem(**out)
+
+
+def _local_blocks(qvec, tvec, camidx, model_id, cam_params, const_image,
+                  points, obs_image, obs_point, obs_xy, obs_mask,
+                  trk_obs, trk_mask, lam, loss_scale, point_damping):
+    """Per-device: residuals, jacobians, local partial S and b + point data.
+
+    All inputs are the device-local shard (no leading D axis).
+    """
+    I = qvec.shape[0]
+    dtype = obs_xy.dtype
+
+    q = qvec[obs_image]
+    t = tvec[obs_image]
+    cidx = camidx[obs_image]
+    mid = model_id[cidx]
+    par = cam_params[cidx]
+    X = points[obs_point]
+
+    zeros6 = jnp.zeros(6, dtype)
+    zeros3 = jnp.zeros(3, dtype)
+    zeros2 = jnp.zeros(2, dtype)
+
+    def one(qv, tv, m, p, x, xy):
+        f = lambda dc, dp: ba._project_one(dc, dp, zeros2, qv, tv, m, p, x,
+                                           xy)
+        r = f(zeros6, zeros3)
+        Jc, Jp = jax.jacfwd(f, argnums=(0, 1))(zeros6, zeros3)
+        return r, Jc, Jp
+
+    r, Jc, Jp = jax.vmap(one)(q, t, mid, par, X, obs_xy)
+    r2 = jnp.sum(r * r, axis=-1)
+    w = 1.0 / (1.0 + r2 / (loss_scale * loss_scale))        # cauchy IRLS
+    wm = (w * obs_mask.astype(dtype))[:, None, None]
+    sw = jnp.sqrt(wm)
+    camfree = (~const_image)[obs_image].astype(dtype)[:, None, None]
+    Jc_w = Jc * sw * camfree
+    Jp_w = Jp * sw
+    r_w = r * sw[..., 0]
+
+    Pd = points.shape[0]
+    U = jax.ops.segment_sum(jnp.einsum("nri,nrj->nij", Jc_w, Jc_w),
+                            obs_image, I)
+    V = jax.ops.segment_sum(jnp.einsum("nri,nrj->nij", Jp_w, Jp_w),
+                            obs_point, Pd)
+    W = jnp.einsum("nri,nrj->nij", Jc_w, Jp_w)
+    gc = -jax.ops.segment_sum(jnp.einsum("nri,nr->ni", Jc_w, r_w),
+                              obs_image, I)
+    gp = -jax.ops.segment_sum(jnp.einsum("nri,nr->ni", Jp_w, r_w),
+                              obs_point, Pd)
+
+    eye3 = jnp.eye(3, dtype=dtype)
+    Vd = V + (lam * jnp.maximum(jnp.diagonal(V, axis1=-2, axis2=-1),
+                                1e-6)[..., None] + point_damping) * eye3
+    Vinv = jnp.linalg.inv(Vd)
+
+    T = trk_obs.shape[1]
+    slot_img = obs_image[trk_obs]
+    slot_W = W[trk_obs] * trk_mask[..., None, None]
+    Y = jnp.einsum("ptij,pjk->ptik", slot_W, Vinv)
+
+    corr = jnp.einsum("ptij,pj->pti", Y, gp)
+    b_local = gc - jax.ops.segment_sum(corr.reshape(-1, 6),
+                                       slot_img.reshape(-1), I)
+
+    S_local = jnp.zeros((I, I, 6, 6), dtype)
+    idx_flat = slot_img[:, :, None] * I + slot_img[:, None, :]
+
+    def body(S, kl):
+        k, l = kl // T, kl % T
+        blk = jnp.einsum("pij,pkj->pik", Y[:, k], slot_W[:, l])
+        S = S.reshape(I * I, 6, 6).at[idx_flat[:, k, l]].add(-blk) \
+            .reshape(I, I, 6, 6)
+        return S, None
+
+    S_local, _ = jax.lax.scan(body, S_local, jnp.arange(T * T))
+    S_local = S_local.at[jnp.arange(I), jnp.arange(I)].add(U)
+
+    # damp camera diagonal locally (will psum; damping applied after psum
+    # would double-count, so scale here by nothing — move damping after)
+    cost_local = jnp.sum(jnp.where(
+        obs_mask, loss_scale ** 2 * jnp.log1p(r2 / loss_scale ** 2), 0.0))
+    return S_local, b_local, cost_local, (Vinv, slot_W, slot_img, gp)
+
+
+def solve_sharded(prob: ShardedBAProblem, mesh: Mesh,
+                  opts: ba.BAOptions = ba.BAOptions()):
+    """LM loop with the sharded Schur step. Returns updated problem + stats.
+
+    One psum (S, b, cost) per iteration; solve replicated; point updates
+    local. Runs under a single jit over the whole LM scan.
+    """
+    from jax import shard_map
+
+    I = prob.image_qvec.shape[0]
+    dtype = prob.obs_xy.dtype
+    eyeC = jnp.eye(6, dtype=dtype)
+
+    spec_sh = P("d")
+    spec_rep = P()
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec_rep, spec_rep, spec_sh, spec_sh, spec_sh, spec_sh,
+                  spec_sh, spec_sh, spec_sh, spec_rep),
+        out_specs=(spec_rep, spec_rep, spec_sh),
+        check_vma=False)
+    def sharded_step(qvec, tvec, points, obs_image, obs_point, obs_xy,
+                     obs_mask, trk_obs, trk_mask, lam):
+        # shard_map passes device-local blocks with leading axis of size 1
+        points_l = points[0]
+        S_l, b_l, cost_l, (Vinv, slot_W, slot_img, gp) = _local_blocks(
+            qvec, tvec, prob.image_camidx, prob.cam_model_id,
+            prob.cam_params, prob.const_image,
+            points_l, obs_image[0], obs_point[0], obs_xy[0], obs_mask[0],
+            trk_obs[0], trk_mask[0], lam, opts.loss_scale,
+            opts.point_damping)
+
+        S = jax.lax.psum(S_l, "d")
+        b = jax.lax.psum(b_l, "d")
+        cost = jax.lax.psum(cost_l, "d")
+
+        # camera damping after the global sum
+        diag = jnp.maximum(jnp.diagonal(
+            S[jnp.arange(I), jnp.arange(I)], axis1=-2, axis2=-1), 1e-6)
+        S = S.at[jnp.arange(I), jnp.arange(I)].add(
+            lam * eyeC[None] * diag[..., None])
+
+        free = (~prob.const_image).astype(dtype)
+        Sm = S * free[:, None, None, None] * free[None, :, None, None]
+        Sm = Sm.at[jnp.arange(I), jnp.arange(I)].add(
+            (1.0 - free)[:, None, None] * eyeC[None])
+        bm = b * free[:, None]
+
+        Sfull = Sm.transpose(0, 2, 1, 3).reshape(I * 6, I * 6)
+        Sfull = 0.5 * (Sfull + Sfull.T) + 1e-10 * jnp.eye(I * 6, dtype=dtype)
+        L, low = jax.scipy.linalg.cho_factor(Sfull)
+        dcam = jax.scipy.linalg.cho_solve((L, low),
+                                          bm.reshape(I * 6)).reshape(I, 6)
+        dcam = dcam * free[:, None]
+
+        # local point update
+        dc_slots = dcam[slot_img] * trk_mask[0][..., None]
+        wtd = jnp.einsum("ptij,pti->pj", slot_W, dc_slots)
+        dpt = jnp.einsum("pij,pj->pi", Vinv, gp - wtd)
+        return dcam, cost, dpt[None]
+
+    def plain_cost(qvec, tvec, points):
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(spec_rep, spec_rep, spec_sh, spec_sh, spec_sh,
+                      spec_sh, spec_sh),
+            out_specs=spec_rep, check_vma=False)
+        def _cost(qv, tv, pts, oi, op, oxy, om):
+            q = qv[oi[0]]
+            t = tv[oi[0]]
+            cidx = prob.image_camidx[oi[0]]
+            mid = prob.cam_model_id[cidx]
+            par = prob.cam_params[cidx]
+            X = pts[0][op[0]]
+            Xc = rops.quat_rotate(q, X) + t
+            proj = jax.vmap(cm.img_from_cam)(mid, par, Xc)
+            r = proj - oxy[0]
+            r = jnp.where((Xc[:, 2] > 1e-6)[:, None], r, 1e3)
+            r2 = jnp.sum(r * r, -1)
+            c = opts.loss_scale ** 2 * jnp.log1p(r2 / opts.loss_scale ** 2)
+            return jax.lax.psum(jnp.sum(jnp.where(om[0], c, 0.0)), "d")
+        return _cost(qvec, tvec, points, prob.obs_image, prob.obs_point,
+                     prob.obs_xy, prob.obs_mask)
+
+    def lm_iter(carry, _):
+        qvec, tvec, points, lam, cost = carry
+        dcam, _, dpt = sharded_step(
+            qvec, tvec, points, prob.obs_image, prob.obs_point,
+            prob.obs_xy, prob.obs_mask, prob.trk_obs, prob.trk_mask, lam)
+        dq = rops.angleaxis_to_quat(dcam[:, :3])
+        q_new = rops.quat_normalize(rops.quat_multiply(dq, qvec))
+        t_new = tvec + dcam[:, 3:]
+        p_new = points + dpt
+        new_cost = plain_cost(q_new, t_new, p_new)
+        accept = new_cost < cost
+        qvec = jnp.where(accept, q_new, qvec)
+        tvec = jnp.where(accept, t_new, tvec)
+        points = jnp.where(accept, p_new, points)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-10),
+                        jnp.minimum(lam * 4.0, 1e6))
+        return (qvec, tvec, points, lam, cost), cost
+
+    @jax.jit
+    def run(qvec, tvec, points):
+        cost0 = plain_cost(qvec, tvec, points)
+        lam0 = jnp.asarray(opts.init_lambda, dtype)
+        (qv, tv, pts, lam, cost), _ = jax.lax.scan(
+            lm_iter, (qvec, tvec, points, lam0, cost0), None,
+            length=opts.max_iterations)
+        return qv, tv, pts, cost0, cost
+
+    qv, tv, pts, c0, c1 = run(prob.image_qvec, prob.image_tvec, prob.points)
+    stats = ba.BAStats(c0, c1, jnp.asarray(opts.max_iterations),
+                       jnp.asarray(0.0))
+    return prob._replace(image_qvec=qv, image_tvec=tv, points=pts), stats
+
+
+def gather_points(prob: ShardedBAProblem, shard_pts, total_points: int):
+    """Scatter sharded (optimized) points back to original point order."""
+    out = np.zeros((total_points, 3))
+    pts = np.asarray(prob.points)
+    for d, idx in enumerate(shard_pts):
+        out[idx] = pts[d, : len(idx)]
+    return out
