@@ -1,0 +1,93 @@
+"""Batched SIFT descriptor matching: one MXU matmul per pair batch.
+
+TPU-native counterpart of /root/reference/src/feature/matching.{h,cc}
+(SiftMatchingOptions sift.h:116-166: max_ratio 0.8, cross_check,
+max_distance 0.7; CPU Eigen brute-force + SiftGPU matcher paths). The
+reference's matcher-thread/verifier-thread queues (matching.cc:610-697)
+collapse into: stack pair descriptor batches -> (B, K, K) similarity
+bmm (bf16 on MXU) -> top-2 ratio test + mutual cross-check, all inside
+one jit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class MatchingOptions(NamedTuple):
+    max_ratio: float = 0.8        # ref sift.h: max_ratio
+    max_distance: float = 0.7     # ref: max_distance (L2 on unit vectors)
+    cross_check: bool = True
+    max_num_matches: int = 1024
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def match_pair_batch(d1: jax.Array, d2: jax.Array, m1: jax.Array,
+                     m2: jax.Array, opts: MatchingOptions = MatchingOptions()):
+    """Match descriptor sets for B pairs.
+
+    d1, d2: (B, K, 128) L2-normalized float descriptors; m1, m2: (B, K)
+    valid masks. Returns (matches (B, K, 2) int32 with -1 padding,
+    num_matches (B,)). Row k of `matches` is (k, j) for keypoint k of
+    image 1 matched to j of image 2.
+    """
+    # similarity on the MXU; invalid rows/cols forced to -inf
+    sim = jnp.einsum("bkd,bjd->bkj", d1, d2,
+                     preferred_element_type=jnp.float32)
+    neg = jnp.finfo(sim.dtype).min
+    sim = jnp.where(m1[:, :, None] & m2[:, None, :], sim, neg)
+
+    top2, top2_idx = jax.lax.top_k(sim, 2)              # (B, K, 2)
+    best = top2[..., 0]
+    second = top2[..., 1]
+    # L2 distance on unit vectors: d^2 = 2 - 2 s
+    d_best = jnp.sqrt(jnp.maximum(2.0 - 2.0 * best, 0.0))
+    d_second = jnp.sqrt(jnp.maximum(2.0 - 2.0 * second, 1e-12))
+    ratio_ok = d_best < opts.max_ratio * d_second
+    dist_ok = d_best < opts.max_distance
+    ok = ratio_ok & dist_ok & m1
+
+    if opts.cross_check:
+        rev_best = jnp.argmax(sim, axis=1)              # (B, K2): best row
+        j = top2_idx[..., 0]                            # (B, K1)
+        mutual = jnp.take_along_axis(rev_best, j, axis=1) == \
+            jnp.arange(d1.shape[1])[None, :]
+        ok = ok & mutual
+
+    j = jnp.where(ok, top2_idx[..., 0], -1)
+    k_idx = jnp.broadcast_to(jnp.arange(d1.shape[1])[None, :], j.shape)
+    matches = jnp.stack([jnp.where(ok, k_idx, -1), j], axis=-1)
+    return matches.astype(jnp.int32), jnp.sum(ok, axis=1)
+
+
+def match_pairs(descriptors: dict, masks: dict, pairs: list,
+                opts: MatchingOptions = MatchingOptions(),
+                batch_size: int = 16) -> dict:
+    """Host wrapper: match many image pairs in device batches.
+
+    descriptors: image_id -> (K, 128) np float (normalized); masks:
+    image_id -> (K,) bool. Returns pair -> (M, 2) uint32 match arrays.
+    """
+    out = {}
+    for s in range(0, len(pairs), batch_size):
+        chunk = pairs[s: s + batch_size]
+        real = len(chunk)
+        while len(chunk) < batch_size:
+            chunk = chunk + [chunk[-1]]
+        d1 = jnp.asarray(np.stack([descriptors[i] for (i, _) in chunk]))
+        d2 = jnp.asarray(np.stack([descriptors[j] for (_, j) in chunk]))
+        m1 = jnp.asarray(np.stack([masks[i] for (i, _) in chunk]))
+        m2 = jnp.asarray(np.stack([masks[j] for (_, j) in chunk]))
+        matches, counts = match_pair_batch(d1, d2, m1, m2, opts)
+        matches = np.asarray(matches)
+        for k in range(real):
+            m = matches[k]
+            m = m[m[:, 0] >= 0][: opts.max_num_matches]
+            out[chunk[k]] = m.astype(np.uint32)
+    return out

@@ -1,0 +1,157 @@
+"""Similarity search / match-pair selection: BoW retrieval on the MXU.
+
+TPU-native counterpart of /root/reference/src/retrieval/ (FLANN vocab-tree
+VisualIndex, visual_index.h:61) and graph/similarity_graph.{h,cpp}
+(VocabSimilarityGraph queries top-num_images neighbors per image,
+similarity_graph.cpp:101-199; options num_images=100). The FLANN
+hierarchical k-means tree + inverted index becomes: device k-means vocab
+(Lloyd on the MXU) -> tf-idf BoW vectors -> ONE similarity matmul ->
+top-k neighbor pairs. The MIRROR CNN path (lib/mirror, TF1 ResNet R-MAC)
+is intentionally not replicated (SURVEY.md non-goals); this module is the
+`VOCAB_TREE` retrieval parity.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class RetrievalOptions(NamedTuple):
+    vocab_size: int = 256
+    kmeans_iters: int = 20
+    num_neighbors: int = 50       # ref similarity_graph num_images=100
+    sample_per_image: int = 256   # descriptors sampled for vocab training
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def kmeans_fit(data: jax.Array, key, k: int, iters: int = 20):
+    """Lloyd k-means on (N, D) -> (k, D) centroids (MXU distance matmuls)."""
+    N = data.shape[0]
+    idx = jax.random.choice(key, N, (k,), replace=False)
+    cents = data[idx]
+
+    def body(cents, _):
+        # assign via -2 x·c + |c|^2 (|x|^2 constant)
+        d2 = -2.0 * data @ cents.T + jnp.sum(cents ** 2, -1)[None, :]
+        assign = jnp.argmin(d2, axis=1)
+        onehot = jax.nn.one_hot(assign, k, dtype=data.dtype)
+        counts = onehot.sum(0)
+        newc = (onehot.T @ data) / jnp.maximum(counts, 1e-9)[:, None]
+        newc = jnp.where((counts > 0)[:, None], newc, cents)
+        return newc, None
+
+    cents, _ = jax.lax.scan(body, cents, None, length=iters)
+    return cents
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def bow_histograms(desc: jax.Array, mask: jax.Array, cents: jax.Array,
+                   k: int):
+    """(B, K, D) descriptors -> (B, k) tf histograms."""
+    d2 = -2.0 * jnp.einsum("bkd,vd->bkv", desc, cents,
+                           preferred_element_type=jnp.float32) + \
+        jnp.sum(cents ** 2, -1)[None, None, :]
+    assign = jnp.argmin(d2, axis=-1)                     # (B, K)
+    onehot = jax.nn.one_hot(assign, k, dtype=desc.dtype)
+    onehot = onehot * mask[..., None]
+    return onehot.sum(axis=1)                            # (B, k)
+
+
+def similarity_pairs(descriptors: dict, masks: dict,
+                     opts: RetrievalOptions = RetrievalOptions(),
+                     seed: int = 0) -> list:
+    """Top-num_neighbors candidate pairs per image via tf-idf BoW cosine.
+
+    descriptors: image_id -> (K, D) np arrays. Returns list of
+    (i, j, score) with i < j, deduplicated, score-sorted descending.
+    """
+    ids = sorted(descriptors)
+    if len(ids) < 2:
+        return []
+    key = jax.random.PRNGKey(seed)
+    rng = np.random.default_rng(seed)
+
+    # vocab training sample
+    samples = []
+    for i in ids:
+        d = descriptors[i][np.asarray(masks[i])]
+        if len(d) == 0:
+            continue
+        take = min(len(d), opts.sample_per_image)
+        samples.append(d[rng.choice(len(d), take, replace=False)])
+    train = np.concatenate(samples, axis=0)
+    k = min(opts.vocab_size, max(8, len(train) // 4))
+    cents = kmeans_fit(jnp.asarray(train), key, k, opts.kmeans_iters)
+
+    desc = jnp.asarray(np.stack([descriptors[i] for i in ids]))
+    mask = jnp.asarray(np.stack([masks[i] for i in ids]))
+    tf = bow_histograms(desc, mask, cents, k)            # (B, k)
+    tf = np.asarray(tf)
+
+    # idf weighting + cosine similarity (one matmul)
+    df = (tf > 0).sum(axis=0)
+    idf = np.log(len(ids) / np.maximum(df, 1))
+    v = tf * idf[None, :]
+    v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-9)
+    sim = v @ v.T
+    np.fill_diagonal(sim, -1.0)
+
+    pairs = {}
+    nn = min(opts.num_neighbors, len(ids) - 1)
+    for a in range(len(ids)):
+        top = np.argsort(-sim[a])[:nn]
+        for b in top:
+            i, j = ids[a], ids[int(b)]
+            keyp = (i, j) if i < j else (j, i)
+            pairs[keyp] = max(pairs.get(keyp, -1.0), float(sim[a, b]))
+    return sorted([(i, j, s) for (i, j), s in pairs.items()],
+                  key=lambda t: -t[2])
+
+
+def exhaustive_pairs(image_ids: list, block_size: int = 50) -> list:
+    """All pairs, in blocks (ref ExhaustiveMatchingOptions block_size=50)."""
+    out = []
+    ids = sorted(image_ids)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            out.append((ids[a], ids[b], 0.0))
+    return out
+
+
+def sequential_pairs(image_ids: list, overlap: int = 10) -> list:
+    """Consecutive frames (ref SequentialMatchingOptions overlap=10)."""
+    out = []
+    ids = sorted(image_ids)
+    for a in range(len(ids)):
+        for d in range(1, overlap + 1):
+            if a + d < len(ids):
+                out.append((ids[a], ids[a + d], 0.0))
+    return out
+
+
+def spatial_pairs(image_ids: list, locations: np.ndarray,
+                  max_num_neighbors: int = 50,
+                  max_distance: float = 100.0) -> list:
+    """GPS/location kNN pairing (ref SpatialMatchingOptions, FLANN kNN
+    replaced by a brute-force distance matrix — small I)."""
+    ids = sorted(image_ids)
+    loc = np.asarray(locations, float)
+    d = np.linalg.norm(loc[:, None] - loc[None, :], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    out = {}
+    for a in range(len(ids)):
+        nbr = np.argsort(d[a])[:max_num_neighbors]
+        for b in nbr:
+            if d[a, b] > max_distance:
+                break
+            keyp = (ids[a], ids[int(b)]) if ids[a] < ids[int(b)] \
+                else (ids[int(b)], ids[a])
+            out[keyp] = -float(d[a, b])
+    return sorted([(i, j, s) for (i, j), s in out.items()],
+                  key=lambda t: -t[2])

@@ -1,0 +1,360 @@
+"""Batched SIFT extraction as one jitted XLA program.
+
+TPU-native counterpart of /root/reference/src/feature/sift.{h,cc}
+(VLFeat CPU path `ExtractSiftFeaturesCPU` sift.h:169 and the SiftGPU
+path :182-187) and of the resizer→extractor→writer thread pipeline
+(feature/extraction.{h,cc}:50-105,112-207). The thread pipeline becomes a
+single fused batch: (B, H, W) images in, padded keypoint/descriptor
+arrays out.
+
+Stages (all fixed-shape, fully vmapped over the batch):
+  1. Gaussian scale-space pyramid — separable convs (XLA fuses to MXU/VPU).
+  2. DoG extrema: 3x3x3 neighborhood argmax via shifted comparisons.
+  3. Fixed-budget candidate selection per octave via top_k on |DoG|.
+  4. Sub-pixel/scale refinement: one 3x3 Hessian solve per candidate
+     + contrast & edge-ratio rejection (Lowe's checks; ref sift.h:44-114
+     options peak_threshold / edge_threshold).
+  5. Orientation: 36-bin smoothed gradient histogram, parabola-refined
+     dominant peak.
+  6. Descriptor: rotated 4x4x8 gradient histogram over a bilinear-sampled
+     patch grid, trilinear soft-binning, L2->clip(0.2)->renorm, then
+     L1-root (ref SiftExtractionOptions::Normalization::L1_ROOT default).
+
+Output keypoints use COLMAP pixel convention (x right, y down, origin at
+top-left corner of pixel 0 = coordinate 0.5 offsets preserved by the
+caller's usage; scale/orientation returned for parity).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class SiftOptions(NamedTuple):
+    num_octaves: int = 4
+    scales_per_octave: int = 3          # ref octave_resolution 3
+    sigma0: float = 1.6
+    first_octave_blur: float = 0.5      # assumed input blur
+    peak_threshold: float = 0.0067      # ref 0.02 / octave_resolution
+    edge_threshold: float = 10.0
+    max_num_features: int = 1024        # per image (ref 8192)
+    candidates_per_octave: int = 1024
+    descriptor_patch: int = 16          # sample grid (4 bins x 4 samples)
+    l1_root: bool = True
+
+
+class SiftFeatures(NamedTuple):
+    xy: jax.Array       # (B, K, 2) pixel coords (x, y)
+    scale: jax.Array    # (B, K) sigma in input-image pixels
+    orientation: jax.Array  # (B, K) radians
+    score: jax.Array    # (B, K) |DoG| response
+    descriptor: jax.Array   # (B, K, 128) float32, normalized
+    mask: jax.Array     # (B, K) valid
+
+
+def _gauss_kernel1d(sigma: float, radius: int) -> np.ndarray:
+    x = np.arange(-radius, radius + 1)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def _blur(img: jax.Array, sigma: float) -> jax.Array:
+    """Separable Gaussian blur for (B, H, W)."""
+    radius = max(1, int(math.ceil(3.0 * sigma)))
+    k = jnp.asarray(_gauss_kernel1d(sigma, radius))
+    x = img[:, None]  # (B, 1, H, W)
+    kx = k.reshape(1, 1, 1, -1)
+    ky = k.reshape(1, 1, -1, 1)
+    x = jax.lax.conv_general_dilated(x, kx, (1, 1),
+                                     [(0, 0), (radius, radius)])
+    x = jax.lax.conv_general_dilated(x, ky, (1, 1),
+                                     [(radius, radius), (0, 0)])
+    return x[:, 0]
+
+
+def _downsample(img: jax.Array) -> jax.Array:
+    return img[:, ::2, ::2]
+
+
+def _bilinear(img: jax.Array, y: jax.Array, x: jax.Array) -> jax.Array:
+    """img (H, W); y, x broadcastable float coords -> samples."""
+    H, W = img.shape
+    y0 = jnp.clip(jnp.floor(y), 0, H - 2).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(x), 0, W - 2).astype(jnp.int32)
+    dy = jnp.clip(y - y0, 0.0, 1.0)
+    dx = jnp.clip(x - x0, 0.0, 1.0)
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    return (v00 * (1 - dy) * (1 - dx) + v01 * (1 - dy) * dx
+            + v10 * dy * (1 - dx) + v11 * dy * dx)
+
+
+def _extract_octave(gauss: jax.Array, octave: int, opts: SiftOptions):
+    """Per-octave candidate detection + refinement + orientation + desc.
+
+    gauss: (B, S+3, H, W) Gaussian images of this octave.
+    Returns per-image padded candidate arrays (fixed K_oct).
+    """
+    B, NS, H, W = gauss.shape
+    S = opts.scales_per_octave
+    dog = gauss[:, 1:] - gauss[:, :-1]                  # (B, S+2, H, W)
+    K_oct = opts.candidates_per_octave
+
+    # ---- 3x3x3 extrema ---------------------------------------------------
+    def shift(a, ds, dy, dx):
+        return jnp.roll(a, (-ds, -dy, -dx), axis=(1, 2, 3))
+
+    center = dog
+    is_max = jnp.ones_like(dog, bool)
+    is_min = jnp.ones_like(dog, bool)
+    for ds in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if ds == dy == dx == 0:
+                    continue
+                nb = shift(dog, ds, dy, dx)
+                is_max = is_max & (center > nb)
+                is_min = is_min & (center < nb)
+    extremum = (is_max | is_min) & \
+        (jnp.abs(center) > 0.8 * opts.peak_threshold)
+    # valid interior only: scales 1..S, borders of 8px
+    bm = jnp.zeros((NS - 1, H, W), bool)
+    bm = bm.at[1:S + 1, 8:H - 8, 8:W - 8].set(True)
+    extremum = extremum & bm[None]
+
+    score = jnp.where(extremum, jnp.abs(center), 0.0)   # (B, S+2, H, W)
+    flat = score.reshape(B, -1)
+    vals, idx = jax.lax.top_k(flat, K_oct)              # (B, K_oct)
+    ks = idx // (H * W)
+    ky = (idx // W) % H
+    kx = idx % W
+    valid = vals > opts.peak_threshold * 0.8
+
+    # ---- sub-pixel refinement (one Newton step) -------------------------
+    def refine_one(dog_b, s, y, x):
+        # 3D gradient & Hessian via central differences
+        g = jnp.array([
+            (dog_b[s + 1, y, x] - dog_b[s - 1, y, x]) * 0.5,
+            (dog_b[s, y + 1, x] - dog_b[s, y - 1, x]) * 0.5,
+            (dog_b[s, y, x + 1] - dog_b[s, y, x - 1]) * 0.5,
+        ])
+        c = dog_b[s, y, x]
+        hss = dog_b[s + 1, y, x] + dog_b[s - 1, y, x] - 2 * c
+        hyy = dog_b[s, y + 1, x] + dog_b[s, y - 1, x] - 2 * c
+        hxx = dog_b[s, y, x + 1] + dog_b[s, y, x - 1] - 2 * c
+        hsy = (dog_b[s + 1, y + 1, x] - dog_b[s + 1, y - 1, x]
+               - dog_b[s - 1, y + 1, x] + dog_b[s - 1, y - 1, x]) * 0.25
+        hsx = (dog_b[s + 1, y, x + 1] - dog_b[s + 1, y, x - 1]
+               - dog_b[s - 1, y, x + 1] + dog_b[s - 1, y, x - 1]) * 0.25
+        hyx = (dog_b[s, y + 1, x + 1] - dog_b[s, y + 1, x - 1]
+               - dog_b[s, y - 1, x + 1] + dog_b[s, y - 1, x - 1]) * 0.25
+        Hm = jnp.array([[hss, hsy, hsx], [hsy, hyy, hyx], [hsx, hyx, hxx]])
+        Hm = Hm + 1e-9 * jnp.eye(3)
+        off = -jnp.linalg.solve(Hm, g)
+        contrast = c + 0.5 * jnp.dot(g, off)
+        # edge check on spatial Hessian
+        tr = hyy + hxx
+        det = hyy * hxx - hyx * hyx
+        r = opts.edge_threshold
+        edge_ok = (det > 0) & (tr * tr * r < (r + 1.0) ** 2 * det)
+        off_ok = jnp.all(jnp.abs(off) < 1.5)
+        ok = edge_ok & off_ok & \
+            (jnp.abs(contrast) > opts.peak_threshold)
+        return off, ok
+
+    def per_image(dog_b, gauss_b, ks_b, ky_b, kx_b, valid_b):
+        offs, oks = jax.vmap(lambda s, y, x: refine_one(dog_b, s, y, x))(
+            ks_b, ky_b, kx_b)
+        sf = ks_b + offs[:, 0]
+        yf = ky_b + offs[:, 1]
+        xf = kx_b + offs[:, 2]
+        ok = valid_b & oks
+        sigma = opts.sigma0 * 2.0 ** (sf / S)           # octave units
+        # orientation + descriptor from nearest gauss level
+        lvl = jnp.clip(jnp.round(sf).astype(jnp.int32), 0, S + 1)
+        ori, desc = _orient_and_describe(gauss_b, lvl, yf, xf, sigma, opts)
+        return xf, yf, sigma, ori, desc, ok
+
+    xf, yf, sigma, ori, desc, ok = jax.vmap(per_image)(
+        dog, gauss, ks, ky, kx, valid)
+    scale_mult = float(2 ** octave)
+    return (jnp.stack([xf, yf], -1) * scale_mult, sigma * scale_mult,
+            ori, vals, desc, ok)
+
+
+def _orient_and_describe(gauss_b, lvl, yf, xf, sigma, opts: SiftOptions):
+    """Orientation histogram + 128-d descriptor for K keypoints of one
+    image. gauss_b (NS, H, W); lvl/yf/xf/sigma (K,)."""
+    NS, H, W = gauss_b.shape
+    K = yf.shape[0]
+    P = opts.descriptor_patch
+
+    def img_at(lvl):  # gather the right gaussian level per keypoint
+        return gauss_b[lvl]                              # (H, W)
+
+    # --- orientation: 36-bin histogram over a square window ~ r=4 sigma
+    nb = 8  # half-window samples
+    grid = jnp.arange(-nb, nb + 1, dtype=jnp.float32)    # 17
+
+    def orient_one(lvl, y, x, s):
+        img = img_at(lvl)
+        step = 1.5 * s / nb * 3.0
+        ys = y + grid[:, None] * step
+        xs = x + grid[None, :] * step
+        v = _bilinear(img, ys, xs)                       # (17, 17)
+        gy = jnp.gradient(v, axis=0)
+        gx = jnp.gradient(v, axis=1)
+        mag = jnp.sqrt(gx * gx + gy * gy)
+        w = jnp.exp(-(grid[:, None] ** 2 + grid[None, :] ** 2)
+                    / (2 * (nb / 1.5) ** 2))
+        ang = jnp.arctan2(gy, gx)
+        bins = jnp.floor((ang + jnp.pi) / (2 * jnp.pi) * 36).astype(
+            jnp.int32) % 36
+        hist = jax.ops.segment_sum((mag * w).reshape(-1),
+                                   bins.reshape(-1), 36)
+        # circular smooth x2
+        for _ in range(2):
+            hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
+        peak = jnp.argmax(hist)
+        l = hist[(peak - 1) % 36]
+        c = hist[peak]
+        r = hist[(peak + 1) % 36]
+        denom = l - 2 * c + r
+        dpk = jnp.where(jnp.abs(denom) < 1e-9, 0.0,
+                        0.5 * (l - r) / denom)
+        theta = (peak + dpk + 0.5) / 36.0 * 2 * jnp.pi - jnp.pi
+        return theta
+
+    theta = jax.vmap(orient_one)(lvl, yf, xf, sigma)
+
+    # --- descriptor: 4x4 spatial bins x 8 orientation bins
+    half = P / 2.0
+    gg = (jnp.arange(P, dtype=jnp.float32) - half + 0.5) / half  # [-1,1)
+
+    def desc_one(lvl, y, x, s, th):
+        img = img_at(lvl)
+        ct = jnp.cos(th)
+        st = jnp.sin(th)
+        # patch extent: 4 bins * 3 sigma per bin / 2 = 6 sigma half-width
+        ext = 6.0 * s
+        u = gg[:, None] * ext                            # (P, 1) local y
+        v = gg[None, :] * ext                            # (1, P) local x
+        # rotate local coords by theta
+        ys = y + (u * ct - v * st)
+        xs = x + (u * st + v * ct)
+        val = _bilinear(img, ys, xs)                     # (P, P)
+        gy = jnp.gradient(val, axis=0)
+        gx = jnp.gradient(val, axis=1)
+        mag = jnp.sqrt(gx * gx + gy * gy)
+        ang = jnp.arctan2(gy, gx) - th
+        w = jnp.exp(-(gg[:, None] ** 2 + gg[None, :] ** 2) / (2 * 0.5))
+        mag = mag * w
+        # spatial bin coords in [0, 4)
+        by = (gg[:, None] + 1.0) * 2.0 - 0.5             # (P,1) in [-.5,3.5)
+        bx = (gg[None, :] + 1.0) * 2.0 - 0.5
+        by = jnp.broadcast_to(by, (P, P))
+        bx = jnp.broadcast_to(bx, (P, P))
+        ob = (ang + 2 * jnp.pi) % (2 * jnp.pi) / (2 * jnp.pi) * 8.0
+        # trilinear soft binning
+        out = jnp.zeros(128)
+        y0 = jnp.floor(by)
+        x0 = jnp.floor(bx)
+        o0 = jnp.floor(ob)
+        for dyy in (0, 1):
+            for dxx in (0, 1):
+                for doo in (0, 1):
+                    yy = y0 + dyy
+                    xx = x0 + dxx
+                    oo = (o0 + doo) % 8
+                    wgt = mag * \
+                        (1 - jnp.abs(by - yy)) * \
+                        (1 - jnp.abs(bx - xx)) * \
+                        (1 - jnp.abs(ob - (o0 + doo)))
+                    okb = (yy >= 0) & (yy < 4) & (xx >= 0) & (xx < 4) & \
+                        (wgt > 0)
+                    lin = (jnp.clip(yy, 0, 3) * 4 + jnp.clip(xx, 0, 3)) \
+                        * 8 + oo
+                    out = out.at[lin.astype(jnp.int32).reshape(-1)].add(
+                        jnp.where(okb, wgt, 0.0).reshape(-1))
+        # normalize: L2 -> clip 0.2 -> L2; optional L1-root (ref L1_ROOT)
+        out = out / jnp.maximum(jnp.linalg.norm(out), 1e-9)
+        out = jnp.minimum(out, 0.2)
+        out = out / jnp.maximum(jnp.linalg.norm(out), 1e-9)
+        if opts.l1_root:
+            out = jnp.sqrt(out / jnp.maximum(jnp.sum(jnp.abs(out)), 1e-9))
+        return out
+
+    desc = jax.vmap(desc_one)(lvl, yf, xf, sigma, theta)
+    return theta, desc
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def extract(images: jax.Array, opts: SiftOptions = SiftOptions()
+            ) -> SiftFeatures:
+    """SIFT for a batch of grayscale images (B, H, W) float32 in [0, 1]."""
+    B, H, W = images.shape
+    S = opts.scales_per_octave
+    k = 2.0 ** (1.0 / S)
+
+    # base blur to sigma0
+    base_sigma = math.sqrt(max(opts.sigma0 ** 2
+                               - opts.first_octave_blur ** 2, 0.01))
+    img = _blur(images.astype(jnp.float32), base_sigma)
+
+    per_octave = []
+    for o in range(opts.num_octaves):
+        if img.shape[1] < 32 or img.shape[2] < 32:
+            break
+        # build S+3 gaussian levels
+        levels = [img]
+        sigma_prev = opts.sigma0
+        for s in range(1, S + 3):
+            sigma_total = opts.sigma0 * k ** s
+            sigma_extra = math.sqrt(max(sigma_total ** 2
+                                        - sigma_prev ** 2, 0.01))
+            levels.append(_blur(levels[-1], sigma_extra))
+            sigma_prev = sigma_total
+        gauss = jnp.stack(levels, axis=1)               # (B, S+3, h, w)
+        per_octave.append(_extract_octave(gauss, o, opts))
+        img = _downsample(levels[S])                    # 2x sigma0 level
+
+    xy = jnp.concatenate([p[0] for p in per_octave], axis=1)
+    scale = jnp.concatenate([p[1] for p in per_octave], axis=1)
+    ori = jnp.concatenate([p[2] for p in per_octave], axis=1)
+    score = jnp.concatenate([p[3] for p in per_octave], axis=1)
+    desc = jnp.concatenate([p[4] for p in per_octave], axis=1)
+    ok = jnp.concatenate([p[5] for p in per_octave], axis=1)
+
+    # global top-K by score among valid
+    K = opts.max_num_features
+    sc = jnp.where(ok, score, -1.0)
+    vals, idx = jax.lax.top_k(sc, K)                    # (B, K)
+    take = lambda a: jnp.take_along_axis(
+        a, idx.reshape(B, K, *([1] * (a.ndim - 2))).astype(jnp.int32)
+        if a.ndim > 2 else idx, axis=1)
+    xy_k = jnp.take_along_axis(xy, idx[..., None].repeat(2, -1), axis=1)
+    desc_k = jnp.take_along_axis(desc, idx[..., None].repeat(128, -1),
+                                 axis=1)
+    return SiftFeatures(
+        xy=xy_k,
+        scale=jnp.take_along_axis(scale, idx, axis=1),
+        orientation=jnp.take_along_axis(ori, idx, axis=1),
+        score=vals,
+        descriptor=desc_k,
+        mask=vals > 0,
+    )
+
+
+def descriptors_to_uint8(desc: jax.Array) -> np.ndarray:
+    """COLMAP-compatible uint8 quantization (512 * value, clipped)."""
+    return np.asarray(jnp.clip(jnp.round(desc * 512.0), 0, 255)
+                      ).astype(np.uint8)

@@ -85,7 +85,29 @@ def ransac(key: jax.Array,
         s = jnp.where(valid, s, jnp.inf)
         return jnp.where(valid, jnp.sum(inl), 0), s
 
-    counts, scores = jax.vmap(score_one)(flat_models, flat_valid)
+    # score in sequential chunks (lax.map) so the (models x data) residual
+    # tensor never materializes whole — keeps HBM/host memory bounded when
+    # this whole RANSAC is itself vmapped over many pairs
+    total = flat_valid.shape[0]
+    chunk = 256
+    if total % chunk != 0:
+        pad = chunk - total % chunk
+        flat_models_p = jax.tree.map(
+            lambda m: jnp.concatenate(
+                [m, jnp.zeros((pad,) + m.shape[1:], m.dtype)]), flat_models)
+        flat_valid_p = jnp.concatenate(
+            [flat_valid, jnp.zeros(pad, bool)])
+    else:
+        flat_models_p, flat_valid_p = flat_models, flat_valid
+    nchunks = flat_valid_p.shape[0] // chunk
+    chunked_models = jax.tree.map(
+        lambda m: m.reshape((nchunks, chunk) + m.shape[1:]), flat_models_p)
+    chunked_valid = flat_valid_p.reshape(nchunks, chunk)
+    counts_c, scores_c = jax.lax.map(
+        lambda mv: jax.vmap(score_one)(mv[0], mv[1]),
+        (chunked_models, chunked_valid))
+    counts = counts_c.reshape(-1)[:total]
+    scores = scores_c.reshape(-1)[:total]
     best = jnp.argmin(scores)
     best_model = jax.tree.map(lambda m: m[best], flat_models)
     r = residual_fn(best_model, *data)

@@ -1,0 +1,296 @@
+"""DistributedMapperController: the full graph-partitioned SfM pipeline.
+
+TPU-native counterpart of /root/reference/src/controllers/
+distributed_mapper_controller.{h,cpp} (Run :98-227):
+
+    verified matches -> view graph (batched two-view RANSAC)
+    -> triplet rotation-cycle filter (5 deg) + largest CC      (:153)
+    -> global rotation averaging + orientation filter           (:945-1005)
+    -> cut-and-expand clustering                                (:633)
+    -> per-cluster incremental mapping                          (:659-740)
+    -> MST Sim(3) merge (SfMAligner)                            (:742-821)
+    -> separator retriangulation                                (:823-834)
+    -> final global BA with track selection                     (:836-933)
+
+The reference fans clusters out over rpclib workers; here sequential mode
+runs clusters in-process (the per-cluster compute is already batched
+device work) and the final BA can run sharded over the device mesh
+(parallel/ba_sharded.py) — the map-reduce roles are filled by SPMD
+sharding rather than RPC (SURVEY.md §2.2 P1/P2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dagsfm_tpu.clustering.image_clustering import (ClusteringOptions,
+                                                    ImageClustering)
+from dagsfm_tpu.estimation import rotation_averaging as ra
+from dagsfm_tpu.graph.view_graph import TwoViewEdge, ViewGraph
+from dagsfm_tpu.ops import epipolar as epi
+from dagsfm_tpu.ops import rotations as rops
+from dagsfm_tpu.scene.reconstruction import Reconstruction
+from dagsfm_tpu.sfm import bundle_adjustment as ba
+from dagsfm_tpu.sfm.aligner import AlignerOptions, SfMAligner
+from dagsfm_tpu.sfm.correspondence_graph import CorrespondenceGraph
+from dagsfm_tpu.sfm.incremental_mapper import (IncrementalMapper,
+                                               MapperOptions, _bucket,
+                                               _pad_to, _ransac_essential)
+from dagsfm_tpu.sfm.track_selection import (TrackSelectionOptions,
+                                            select_tracks)
+
+
+@dataclasses.dataclass
+class DistributedMapperOptions:
+    clustering: ClusteringOptions = dataclasses.field(
+        default_factory=ClusteringOptions)
+    mapper: MapperOptions = dataclasses.field(default_factory=MapperOptions)
+    ra_options: ra.RAOptions = dataclasses.field(default_factory=ra.RAOptions)
+    track_selection: TrackSelectionOptions = dataclasses.field(
+        default_factory=TrackSelectionOptions)
+    aligner: AlignerOptions = dataclasses.field(default_factory=AlignerOptions)
+    min_num_matches: int = 16              # ref --min_num_matches
+    rotation_filter_max_deg: float = 5.0   # ref :153 and :996
+    select_tracks_for_bundle_adjustment: bool = True  # ref h:96
+    final_ba: bool = True                  # ref --final_ba
+    retriangulate: bool = False            # ref --retriangulate
+    final_ba_iterations: int = 50          # ref :522-542 (50 iters)
+    distributed_final_ba: bool = False     # shard final BA over the mesh
+    num_devices: int | None = None
+    seed: int = 0
+
+
+class DistributedMapperController:
+    """Runs the whole pipeline on (cameras, images, verified match graph)."""
+
+    def __init__(self, cameras: dict, images: dict,
+                 graph: CorrespondenceGraph,
+                 options: DistributedMapperOptions | None = None):
+        self.cameras = cameras
+        self.images = images
+        self.graph = graph
+        self.opts = options or DistributedMapperOptions()
+        self.view_graph = ViewGraph()
+        self.global_rotations: dict = {}
+        self.clusters = []
+        self.local_recons: list = []
+        self.separators: list = []
+        self.timings: dict = {}
+        self._key = jax.random.PRNGKey(self.opts.seed)
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    # -------------------------------------------------- 1. view graph
+    def build_view_graph(self) -> ViewGraph:
+        """Two-view RANSAC per pair -> relative pose edges.
+
+        Mirrors LoadTwoviewGeometries (:585) when geometry already exists;
+        here we estimate it from the verified matches with the batched
+        essential RANSAC (the reference estimated it during matching).
+        """
+        from dagsfm_tpu.sfm.two_view import verify_pairs
+        t0 = time.time()
+        helper = IncrementalMapper(self.cameras, self.images, self.graph,
+                                   self.opts.mapper)
+        pair_data = []
+        for (i, j) in self.graph.image_pairs():
+            m = self.graph.matches_between(i, j)
+            if len(m) < self.opts.min_num_matches:
+                continue
+            x1 = helper._normalize(i, self.images[i].xys[m[:, 0]])
+            x2 = helper._normalize(j, self.images[j].xys[m[:, 1]])
+            thr = (self.opts.mapper.abs_pose_max_error_px / 3.0
+                   / helper._focal(i)) ** 2
+            pair_data.append(((i, j), x1, x2, thr))
+        results = verify_pairs(pair_data,
+                               num_hyps=self.opts.mapper
+                               .num_ransac_hypotheses,
+                               seed=self.opts.seed)
+        for (i, j), (R, t, ninl, nf, inl, valid) in results.items():
+            if not valid or ninl < self.opts.min_num_matches \
+                    or nf < self.opts.min_num_matches:
+                continue
+            self.view_graph.add_edge(TwoViewEdge(i, j, R, t, ninl))
+        self.timings["view_graph"] = time.time() - t0
+        return self.view_graph
+
+    # -------------------------------------- 2. filters + rotation averaging
+    def filter_and_average_rotations(self):
+        t0 = time.time()
+        self.view_graph.filter_cycles_by_rotation(
+            self.opts.rotation_filter_max_deg)
+        cc = self.view_graph.largest_connected_component()
+        self.view_graph = self.view_graph.subgraph(cc)
+
+        ids = sorted(self.view_graph.nodes)
+        index = {v: k for k, v in enumerate(ids)}
+        edges = np.array([(index[i], index[j])
+                          for (i, j) in self.view_graph.edges], np.int32)
+        rels = np.stack([e.rotation
+                         for e in self.view_graph.edges.values()])
+        R_glob = ra.estimate_rotations(len(ids), edges, rels,
+                                       self.opts.ra_options)
+        keep = ra.filter_pairs_from_orientation(
+            edges, rels, R_glob, self.opts.rotation_filter_max_deg)
+        kept_edges = {k: e for (k, e), ok in
+                      zip(self.view_graph.edges.items(), keep) if ok}
+        self.view_graph.edges = kept_edges
+        cc = self.view_graph.largest_connected_component()
+        self.view_graph = self.view_graph.subgraph(cc)
+        self.global_rotations = {v: R_glob[index[v]] for v in cc}
+        self.timings["rotation_averaging"] = time.time() - t0
+
+    # ------------------------------------------------ 3. clustering
+    def cluster_scenes(self):
+        t0 = time.time()
+        nodes = sorted(self.view_graph.nodes)
+        edges = {k: e.num_inliers for k, e in self.view_graph.edges.items()}
+        ic = ImageClustering(nodes, edges, self.opts.clustering)
+        ic.cut()
+        self.clusters = ic.expand()
+        self.clustering_summary = ic.summary
+        self.timings["clustering"] = time.time() - t0
+        return self.clusters
+
+    # ------------------------------------- 4. per-cluster reconstruction
+    def reconstruct_partitions(self):
+        """Sequential per-cluster incremental SfM (ref :659-740; biggest
+        cluster first like the size-sorted job queue :675-679)."""
+        t0 = time.time()
+        self.local_recons = []
+        order = sorted(range(len(self.clusters)),
+                       key=lambda c: -len(self.clusters[c].image_ids))
+        for c in order:
+            cluster = self.clusters[c]
+            sub_graph = CorrespondenceGraph()
+            idset = set(cluster.image_ids)
+            for i in cluster.image_ids:
+                sub_graph.add_image(i, self.graph.num_keypoints[i])
+            for (i, j), m in self.graph.pair_matches.items():
+                if i in idset and j in idset:
+                    sub_graph.add_matches(i, j, m)
+            sub_images = {i: self.images[i] for i in cluster.image_ids}
+            mapper = IncrementalMapper(self.cameras, sub_images, sub_graph,
+                                       self.opts.mapper)
+            rec = mapper.reconstruct()
+            for im in rec.images.values():
+                im.cluster_id = cluster.cluster_id
+            if rec.num_reg_images() >= 2:
+                self.local_recons.append(rec)
+        self.timings["reconstruction"] = time.time() - t0
+        return self.local_recons
+
+    # ------------------------------------------------ 5. merge
+    def merge_clusters(self) -> Reconstruction:
+        t0 = time.time()
+        aligner = SfMAligner(self.local_recons, self.opts.aligner)
+        merged = aligner.align()
+        self.separators = aligner.separator_image_ids(merged)
+        self.timings["merge"] = time.time() - t0
+        return merged
+
+    # ---------------------------------------- 6. retriangulate + final BA
+    def retriangulate(self, merged: Reconstruction):
+        """Re-triangulate separator images on the merged model (ref :823)."""
+        t0 = time.time()
+        mapper = IncrementalMapper.wrap(self.cameras, merged, self.graph,
+                                        self.opts.mapper)
+        for i in self.separators:
+            mapper.triangulate_image(i)
+        mapper.filter_points()
+        self.timings["retriangulation"] = time.time() - t0
+
+    def adjust_global_bundle(self, merged: Reconstruction):
+        """Final BA with track selection (ref :836-933)."""
+        t0 = time.time()
+        sel = None
+        if self.opts.select_tracks_for_bundle_adjustment:
+            sel = select_tracks(merged, self.opts.track_selection)
+        const_points = None
+        arrays, ids = merged.to_arrays()
+        cam_ids, img_ids, pt_ids = ids
+        if sel is not None:
+            const_points = np.array([p not in sel for p in pt_ids])
+        const_image = np.zeros(len(img_ids), bool)
+        const_image[:2] = True
+
+        opts = ba.BAOptions(max_iterations=self.opts.final_ba_iterations,
+                            loss="cauchy", loss_scale=1.0)
+        if self.opts.distributed_final_ba:
+            from dagsfm_tpu.parallel import ba_sharded
+            from dagsfm_tpu.parallel.mesh import make_mesh
+            ndev = self.opts.num_devices or len(jax.devices())
+            mesh = make_mesh(ndev)
+            prob, shard_pts = ba_sharded.shard_problem(
+                arrays, ndev, const_image=const_image)
+            prob = ba_sharded.place(prob, mesh)
+            out, stats = ba_sharded.solve_sharded(prob, mesh, opts)
+            pts = ba_sharded.gather_points(out, shard_pts,
+                                           arrays.points_xyz.shape[0])
+            arrays = arrays._replace(
+                image_qvec=np.asarray(out.image_qvec),
+                image_tvec=np.asarray(out.image_tvec),
+                points_xyz=pts)
+            merged.update_from_arrays(arrays, ids)
+        else:
+            prob = ba.make_problem(arrays, const_image=const_image,
+                                   const_points=const_points)
+            prob, stats = ba.solve(prob, opts)
+            arrays = arrays._replace(
+                image_qvec=np.asarray(prob.image_qvec),
+                image_tvec=np.asarray(prob.image_tvec),
+                points_xyz=np.asarray(prob.points))
+            merged.update_from_arrays(arrays, ids)
+        self.ba_stats = stats
+        self.timings["final_ba"] = time.time() - t0
+
+    def separator_rmse(self, merged: Reconstruction) -> float:
+        """Reprojection RMSE over separator images (ref :919-925)."""
+        errs = []
+        sepset = set(self.separators)
+        for pid, pt in merged.points3D.items():
+            for (i, kp) in pt.track:
+                if i not in sepset:
+                    continue
+                im = merged.images[i]
+                Rcw = rops.quat_to_rotmat_np(im.qvec)
+                Xc = Rcw @ pt.xyz + im.tvec
+                if Xc[2] <= 1e-6:
+                    continue
+                cam = self.cameras[im.camera_id]
+                K = cam.calibration_matrix()
+                uv = Xc[:2] / Xc[2] * K[0, 0] + K[:2, 2]
+                errs.append(np.sum((uv - im.xys[kp]) ** 2))
+        return float(np.sqrt(np.mean(errs))) if errs else 0.0
+
+    # ------------------------------------------------------------- run
+    def run(self) -> Reconstruction:
+        total0 = time.time()
+        self.build_view_graph()
+        self.filter_and_average_rotations()
+        self.cluster_scenes()
+        self.reconstruct_partitions()
+        if not self.local_recons:
+            return Reconstruction()
+        merged = self.merge_clusters()
+        if self.opts.retriangulate:
+            self.retriangulate(merged)
+        if self.opts.final_ba:
+            self.adjust_global_bundle(merged)
+        self.timings["total"] = time.time() - total0
+        return merged
+
+    def report(self) -> str:
+        """Per-stage wall-clock report (ref :215-225)."""
+        lines = ["Timings:"]
+        for k, v in self.timings.items():
+            lines.append(f"  {k:>20s}: {v:8.3f}s")
+        return "\n".join(lines)

@@ -226,7 +226,9 @@ class Reconstruction:
         id_map = {}
         for j in new_other:
             im = other.images[j]
-            new_id = max(self.images.keys(), default=0) + 1
+            # keep original (database-global) image id when free
+            new_id = j if j not in self.images else \
+                max(self.images.keys(), default=0) + 1
             id_map[j] = new_id
             im2 = dataclasses.replace(im, image_id=new_id,
                                       point3D_ids=np.full_like(im.point3D_ids, -1))

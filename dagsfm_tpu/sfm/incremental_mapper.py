@@ -101,6 +101,25 @@ class IncrementalMapper:
         self._tried_init_pairs: set = set()
         self._failed_regs: dict = {}
 
+    @classmethod
+    def wrap(cls, cameras: dict, rec: Reconstruction,
+             graph: CorrespondenceGraph,
+             options: "MapperOptions | None" = None) -> "IncrementalMapper":
+        """Wrap an EXISTING reconstruction (e.g. the merged model) so its
+        triangulation / BA / filtering machinery can be reused — used by
+        the controller for separator retriangulation (ref :823)."""
+        self = cls.__new__(cls)
+        self.opts = options or MapperOptions()
+        self.graph = graph
+        self.rec = rec
+        self._rng = np.random.default_rng(self.opts.seed)
+        self._key = jax.random.PRNGKey(self.opts.seed)
+        self._num_reg_at_last_global_ba = rec.num_reg_images()
+        self._num_pts_at_last_global_ba = rec.num_points3D()
+        self._tried_init_pairs = set()
+        self._failed_regs = {}
+        return self
+
     # ------------------------------------------------------------------ utils
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
