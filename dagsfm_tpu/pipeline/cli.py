@@ -1,0 +1,309 @@
+"""Command-line interface: colmap-compatible subcommand layout.
+
+TPU-native counterpart of /root/reference/src/exe/colmap.cc (command table
+:2105-2140) — the DAGSfM-relevant subset:
+
+  automatic_reconstructor   one-click pipeline (ref AutomaticReconstruction)
+  feature_extractor         SIFT over an image directory -> database.db
+  exhaustive_matcher /
+  sequential_matcher /
+  vocab_tree_matcher        match + verify -> database.db
+  mapper                    incremental SfM from a database
+  distributed_mapper        the full graph-partitioned pipeline (ref :828)
+  sfm_aligner               merge partial reconstructions (ref :1009)
+  bundle_adjuster           standalone global BA (ref BundleAdjustmentController)
+  model_converter           bin <-> text <-> PLY
+  synthetic_scene           generate a benchmark scene (test/bench backbone)
+
+Flag names mirror the reference's boost::program_options registry
+(util/option_manager.{h,cc}) where a counterpart exists.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _load_images_from_dir(image_path: str):
+    """Grayscale-load all images in a directory (PIL if available)."""
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise SystemExit("image loading requires PIL; for synthetic "
+                         "pipelines use `synthetic_scene`") from e
+    out = {}
+    names = {}
+    exts = {".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff"}
+    files = sorted(f for f in os.listdir(image_path)
+                   if os.path.splitext(f.lower())[1] in exts)
+    for k, f in enumerate(files):
+        img = Image.open(os.path.join(image_path, f)).convert("L")
+        out[k + 1] = np.asarray(img, np.float32) / 255.0
+        names[k + 1] = f
+    return out, names
+
+
+def cmd_feature_extractor(args):
+    from dagsfm_tpu.features import sift
+    from dagsfm_tpu.pipeline.feature_pipeline import (FeaturePipeline,
+                                                      FeaturePipelineOptions)
+    from dagsfm_tpu.scene import cameras as cm
+    images, names = _load_images_from_dir(args.image_path)
+    cams = {}
+    for i, img in images.items():
+        h, w = img.shape
+        cams[i] = cm.make_simple_camera(i, w, h, model="SIMPLE_PINHOLE")
+    opts = FeaturePipelineOptions()
+    opts.sift = sift.SiftOptions(max_num_features=args.max_num_features)
+    fp = FeaturePipeline(images, cams, opts, database_path=args.database_path)
+    fp.extract_features()
+    fp.write_database()
+    print(f"extracted features for {len(images)} images "
+          f"-> {args.database_path}")
+
+
+def _run_matcher(args, mode):
+    from dagsfm_tpu.pipeline.feature_pipeline import (FeaturePipeline,
+                                                      FeaturePipelineOptions)
+    images, names = _load_images_from_dir(args.image_path)
+    from dagsfm_tpu.scene import cameras as cm
+    cams = {i: cm.make_simple_camera(i, img.shape[1], img.shape[0])
+            for i, img in images.items()}
+    opts = FeaturePipelineOptions(pair_mode=mode)
+    fp = FeaturePipeline(images, cams, opts, database_path=args.database_path)
+    fp.run()
+    print(f"matched ({mode}); two-view geometries: {len(fp.two_view)}")
+
+
+def cmd_exhaustive_matcher(args):
+    _run_matcher(args, "exhaustive")
+
+
+def cmd_sequential_matcher(args):
+    _run_matcher(args, "sequential")
+
+
+def cmd_vocab_tree_matcher(args):
+    _run_matcher(args, "retrieval")
+
+
+def cmd_mapper(args):
+    from dagsfm_tpu.pipeline.feature_pipeline import FeaturePipeline
+    from dagsfm_tpu.scene import io as scene_io
+    from dagsfm_tpu.sfm.incremental_mapper import (IncrementalMapper,
+                                                   MapperOptions)
+    fp = FeaturePipeline({}, {}, database_path=args.database_path)
+    cams, images, graph = fp.load_from_database(args.database_path)
+    mapper = IncrementalMapper(cams, images, graph, MapperOptions())
+    rec = mapper.reconstruct()
+    os.makedirs(args.output_path, exist_ok=True)
+    scene_io.write_model_bin(rec, args.output_path)
+    print(f"registered {rec.num_reg_images()}/{len(images)} images, "
+          f"{rec.num_points3D()} points -> {args.output_path}")
+
+
+def cmd_distributed_mapper(args):
+    from dagsfm_tpu.clustering.image_clustering import ClusteringOptions
+    from dagsfm_tpu.pipeline.distributed_mapper import (
+        DistributedMapperController, DistributedMapperOptions)
+    from dagsfm_tpu.pipeline.feature_pipeline import FeaturePipeline
+    from dagsfm_tpu.scene import io as scene_io
+    fp = FeaturePipeline({}, {}, database_path=args.database_path)
+    cams, images, graph = fp.load_from_database(args.database_path)
+    opts = DistributedMapperOptions(
+        clustering=ClusteringOptions(
+            num_images_ub=args.num_images_ub,
+            completeness_ratio=args.completeness_ratio,
+            relax_ratio=args.relax_ratio,
+            image_overlap=args.image_overlap,
+            cluster_type=args.cluster_type),
+        distributed_final_ba=args.distributed,
+        retriangulate=args.retriangulate,
+        final_ba=args.final_ba,
+    )
+    ctrl = DistributedMapperController(cams, images, graph, opts)
+    rec = ctrl.run()
+    os.makedirs(args.output_path, exist_ok=True)
+    scene_io.write_model_bin(rec, args.output_path)
+    print(ctrl.report())
+    print(f"registered {rec.num_reg_images()}/{len(images)} images, "
+          f"{rec.num_points3D()} points -> {args.output_path}")
+
+
+def cmd_sfm_aligner(args):
+    from dagsfm_tpu.scene import io as scene_io
+    from dagsfm_tpu.sfm.aligner import SfMAligner
+    recs = []
+    for d in sorted(os.listdir(args.input_path)):
+        p = os.path.join(args.input_path, d)
+        if os.path.isdir(p) and os.path.exists(
+                os.path.join(p, "cameras.bin")):
+            recs.append(scene_io.read_model_bin(p))
+    if not recs:
+        raise SystemExit("no partial reconstructions found")
+    merged = SfMAligner(recs).align()
+    os.makedirs(args.output_path, exist_ok=True)
+    scene_io.write_model_bin(merged, args.output_path)
+    print(f"merged {len(recs)} partitions -> {merged.num_reg_images()} "
+          f"images, {merged.num_points3D()} points")
+
+
+def cmd_bundle_adjuster(args):
+    import jax.numpy as jnp
+    from dagsfm_tpu.scene import io as scene_io
+    from dagsfm_tpu.sfm import bundle_adjustment as ba
+    rec = scene_io.read_model_bin(args.input_path)
+    arrays, ids = rec.to_arrays()
+    const = np.zeros(arrays.image_qvec.shape[0], bool)
+    const[:2] = True
+    prob = ba.make_problem(arrays, const_image=const)
+    prob, stats = ba.solve(prob, ba.BAOptions(
+        max_iterations=args.max_num_iterations))
+    arrays = arrays._replace(image_qvec=np.asarray(prob.image_qvec),
+                             image_tvec=np.asarray(prob.image_tvec),
+                             points_xyz=np.asarray(prob.points))
+    rec.update_from_arrays(arrays, ids)
+    os.makedirs(args.output_path, exist_ok=True)
+    scene_io.write_model_bin(rec, args.output_path)
+    print(f"BA cost {float(stats.initial_cost):.2f} -> "
+          f"{float(stats.final_cost):.2f}")
+
+
+def cmd_model_converter(args):
+    from dagsfm_tpu.scene import io as scene_io
+    if os.path.exists(os.path.join(args.input_path, "cameras.bin")):
+        rec = scene_io.read_model_bin(args.input_path)
+    else:
+        rec = scene_io.read_model_text(args.input_path)
+    if args.output_type == "BIN":
+        scene_io.write_model_bin(rec, args.output_path)
+    elif args.output_type == "TXT":
+        scene_io.write_model_text(rec, args.output_path)
+    elif args.output_type == "PLY":
+        scene_io.write_model_ply(rec, args.output_path)
+    else:
+        raise SystemExit(f"unknown output_type {args.output_type}")
+    print(f"converted -> {args.output_path} ({args.output_type})")
+
+
+def cmd_automatic_reconstructor(args):
+    """One-click sparse pipeline (ref AutomaticReconstructionController)."""
+    from dagsfm_tpu.pipeline.feature_pipeline import (FeaturePipeline,
+                                                      FeaturePipelineOptions)
+    from dagsfm_tpu.scene import cameras as cm
+    from dagsfm_tpu.scene import io as scene_io
+    from dagsfm_tpu.sfm.incremental_mapper import (IncrementalMapper,
+                                                   MapperOptions)
+    images, names = _load_images_from_dir(args.image_path)
+    cams = {i: cm.make_simple_camera(i, img.shape[1], img.shape[0])
+            for i, img in images.items()}
+    db = os.path.join(args.workspace_path, "database.db")
+    os.makedirs(args.workspace_path, exist_ok=True)
+    fp = FeaturePipeline(images, cams,
+                         FeaturePipelineOptions(pair_mode="exhaustive"),
+                         database_path=db)
+    cams2, imgs2, graph = fp.run()
+    mapper = IncrementalMapper(cams2, imgs2, graph, MapperOptions())
+    rec = mapper.reconstruct()
+    out = os.path.join(args.workspace_path, "sparse", "0")
+    scene_io.write_model_bin(rec, out)
+    print(f"reconstruction: {rec.num_reg_images()} images, "
+          f"{rec.num_points3D()} points -> {out}")
+
+
+def cmd_synthetic_scene(args):
+    from dagsfm_tpu.scene import io as scene_io
+    from dagsfm_tpu.scene import synthetic
+    spec = synthetic.SyntheticSceneSpec(
+        num_cameras=args.num_cameras, num_points=args.num_points,
+        pixel_noise=args.pixel_noise, seed=args.seed)
+    sc = synthetic.generate(spec)
+    rec = synthetic.to_reconstruction(sc)
+    os.makedirs(args.output_path, exist_ok=True)
+    scene_io.write_model_bin(rec, args.output_path)
+    print(json.dumps({"num_cameras": args.num_cameras,
+                      "num_points": args.num_points,
+                      "output": args.output_path}))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dagsfm_tpu",
+        description="TPU-native distributed Structure-from-Motion")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def add(name, fn, flags):
+        sp = sub.add_parser(name)
+        for f, kw in flags:
+            sp.add_argument(f, **kw)
+        sp.set_defaults(func=fn)
+        return sp
+
+    add("feature_extractor", cmd_feature_extractor, [
+        ("--image_path", dict(required=True)),
+        ("--database_path", dict(required=True)),
+        ("--max_num_features", dict(type=int, default=1024)),
+    ])
+    for name, fn in (("exhaustive_matcher", cmd_exhaustive_matcher),
+                     ("sequential_matcher", cmd_sequential_matcher),
+                     ("vocab_tree_matcher", cmd_vocab_tree_matcher)):
+        add(name, fn, [
+            ("--image_path", dict(required=True)),
+            ("--database_path", dict(required=True)),
+        ])
+    add("mapper", cmd_mapper, [
+        ("--database_path", dict(required=True)),
+        ("--output_path", dict(required=True)),
+    ])
+    add("distributed_mapper", cmd_distributed_mapper, [
+        ("--database_path", dict(required=True)),
+        ("--output_path", dict(required=True)),
+        ("--num_images_ub", dict(type=int, default=100)),
+        ("--completeness_ratio", dict(type=float, default=0.5)),
+        ("--relax_ratio", dict(type=float, default=1.3)),
+        ("--image_overlap", dict(type=int, default=50)),
+        ("--cluster_type", dict(default="SPECTRAL")),
+        ("--distributed", dict(type=int, default=0)),
+        ("--retriangulate", dict(type=int, default=0)),
+        ("--final_ba", dict(type=int, default=1)),
+    ])
+    add("sfm_aligner", cmd_sfm_aligner, [
+        ("--input_path", dict(required=True)),
+        ("--output_path", dict(required=True)),
+    ])
+    add("bundle_adjuster", cmd_bundle_adjuster, [
+        ("--input_path", dict(required=True)),
+        ("--output_path", dict(required=True)),
+        ("--max_num_iterations", dict(type=int, default=50)),
+    ])
+    add("model_converter", cmd_model_converter, [
+        ("--input_path", dict(required=True)),
+        ("--output_path", dict(required=True)),
+        ("--output_type", dict(default="TXT")),
+    ])
+    add("automatic_reconstructor", cmd_automatic_reconstructor, [
+        ("--image_path", dict(required=True)),
+        ("--workspace_path", dict(required=True)),
+    ])
+    add("synthetic_scene", cmd_synthetic_scene, [
+        ("--output_path", dict(required=True)),
+        ("--num_cameras", dict(type=int, default=20)),
+        ("--num_points", dict(type=int, default=500)),
+        ("--pixel_noise", dict(type=float, default=0.5)),
+        ("--seed", dict(type=int, default=0)),
+    ])
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

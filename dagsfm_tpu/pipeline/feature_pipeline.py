@@ -1,0 +1,224 @@
+"""Feature pipeline controller: images -> SIFT -> pairs -> matches -> DB.
+
+TPU-native counterpart of the reference's extraction+matching controllers
+(/root/reference/src/feature/extraction.cc SiftFeatureExtractor thread
+pipeline + matching.cc SiftFeatureMatcher) plus the database checkpoint
+behavior of LoadTwoviewGeometries (distributed_mapper_controller.cpp:
+113-147): if the database already holds two-view geometries, extraction
+and matching are skipped entirely on re-runs.
+
+The resizer->extractor->writer threads become: batch images on host ->
+one jitted SIFT call per batch -> matcher batches -> batched RANSAC
+verification -> SQLite writes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from dagsfm_tpu.features import matching as fm
+from dagsfm_tpu.features import retrieval as rt
+from dagsfm_tpu.features import sift
+from dagsfm_tpu.scene import cameras as cm
+from dagsfm_tpu.scene import io as scene_io
+from dagsfm_tpu.scene.reconstruction import ImageRecord
+from dagsfm_tpu.sfm.correspondence_graph import CorrespondenceGraph
+from dagsfm_tpu.sfm.two_view import verify_pairs
+
+
+@dataclasses.dataclass
+class FeaturePipelineOptions:
+    sift: sift.SiftOptions = dataclasses.field(default_factory=sift.SiftOptions)
+    matching: fm.MatchingOptions = dataclasses.field(
+        default_factory=fm.MatchingOptions)
+    retrieval: rt.RetrievalOptions = dataclasses.field(
+        default_factory=rt.RetrievalOptions)
+    pair_mode: str = "exhaustive"   # exhaustive | sequential | retrieval
+    batch_size: int = 8
+    min_num_inliers: int = 15       # ref sift.h min_num_inliers
+    max_error_px: float = 4.0       # ref sift.h max_error
+    num_ransac_hypotheses: int = 256
+    seed: int = 0
+
+
+class FeaturePipeline:
+    """Extract + match + verify for a set of images.
+
+    images: dict image_id -> (H, W) float32 grayscale array in [0, 1].
+    cameras: dict image_id -> Camera (for normalization during
+    verification). All images must share HxW per batch (resize upstream).
+    """
+
+    def __init__(self, images: dict, cameras: dict,
+                 options: FeaturePipelineOptions | None = None,
+                 database_path: str | None = None):
+        self.images = images
+        self.cameras = cameras
+        self.opts = options or FeaturePipelineOptions()
+        self.database_path = database_path
+        self.keypoints: dict = {}
+        self.descriptors: dict = {}
+        self.masks: dict = {}
+        self.matches: dict = {}
+        self.two_view: dict = {}
+        self.timings: dict = {}
+
+    # ------------------------------------------------------------- extract
+    def extract_features(self):
+        t0 = time.time()
+        ids = sorted(self.images)
+        B = self.opts.batch_size
+        for s in range(0, len(ids), B):
+            chunk = ids[s: s + B]
+            real = len(chunk)
+            while len(chunk) < B:
+                chunk = chunk + [chunk[-1]]
+            batch = jnp.asarray(np.stack([self.images[i] for i in chunk]))
+            feats = sift.extract(batch, self.opts.sift)
+            xy = np.asarray(feats.xy)
+            desc = np.asarray(feats.descriptor)
+            mask = np.asarray(feats.mask)
+            for k in range(real):
+                i = chunk[k]
+                self.keypoints[i] = xy[k]
+                self.descriptors[i] = desc[k]
+                self.masks[i] = mask[k]
+        self.timings["extraction"] = time.time() - t0
+
+    # --------------------------------------------------------------- pairs
+    def select_pairs(self) -> list:
+        ids = sorted(self.images)
+        if self.opts.pair_mode == "exhaustive":
+            return [(i, j) for (i, j, _) in rt.exhaustive_pairs(ids)]
+        if self.opts.pair_mode == "sequential":
+            return [(i, j) for (i, j, _) in rt.sequential_pairs(ids)]
+        if self.opts.pair_mode == "retrieval":
+            return [(i, j) for (i, j, _) in rt.similarity_pairs(
+                self.descriptors, self.masks, self.opts.retrieval,
+                seed=self.opts.seed)]
+        raise ValueError(self.opts.pair_mode)
+
+    # --------------------------------------------------------------- match
+    def match_and_verify(self, pairs: list | None = None):
+        t0 = time.time()
+        if pairs is None:
+            pairs = self.select_pairs()
+        raw = fm.match_pairs(self.descriptors, self.masks, pairs,
+                             self.opts.matching)
+        self.timings["matching"] = time.time() - t0
+
+        t0 = time.time()
+        pair_data = []
+        for (i, j), m in raw.items():
+            if len(m) < self.opts.min_num_inliers:
+                continue
+            cam_i = self.cameras[i]
+            cam_j = self.cameras[j]
+            Ki = cam_i.calibration_matrix()
+            Kj = cam_j.calibration_matrix()
+            x1 = (self.keypoints[i][m[:, 0]] - Ki[:2, 2]) \
+                / np.array([Ki[0, 0], Ki[1, 1]])
+            x2 = (self.keypoints[j][m[:, 1]] - Kj[:2, 2]) \
+                / np.array([Kj[0, 0], Kj[1, 1]])
+            thr = (self.opts.max_error_px / Ki[0, 0]) ** 2
+            pair_data.append(((i, j), x1, x2, thr))
+        results = verify_pairs(pair_data,
+                               num_hyps=self.opts.num_ransac_hypotheses,
+                               seed=self.opts.seed)
+        for (i, j), (R, t, ninl, nf, inl, valid) in results.items():
+            if not valid or ninl < self.opts.min_num_inliers:
+                continue
+            m = raw[(i, j)]
+            self.matches[(i, j)] = m
+            self.two_view[(i, j)] = (R, t, m[inl], ninl)
+        self.timings["verification"] = time.time() - t0
+
+    # ------------------------------------------------------------ database
+    def write_database(self, path: str | None = None):
+        path = path or self.database_path
+        assert path is not None
+        with scene_io.ColmapDatabase(path) as db:
+            for i in sorted(self.images):
+                cam = self.cameras[i]
+                db.add_camera(cam)
+                db.add_image(f"image{i:05d}.jpg", cam.camera_id, image_id=i)
+                db.add_keypoints(i, self.keypoints[i][self.masks[i]])
+                db.add_descriptors(i, sift.descriptors_to_uint8(
+                    jnp.asarray(self.descriptors[i][self.masks[i]])))
+            # matches reference compacted keypoint indices
+            for (i, j), m in self.matches.items():
+                remap_i = np.cumsum(self.masks[i]) - 1
+                remap_j = np.cumsum(self.masks[j]) - 1
+                mm = np.stack([remap_i[m[:, 0]], remap_j[m[:, 1]]], 1)
+                db.add_matches(i, j, mm)
+                (R, t, inl_m, ninl) = self.two_view[(i, j)]
+                mi = np.stack([remap_i[inl_m[:, 0]], remap_j[inl_m[:, 1]]], 1)
+                db.add_two_view_geometry(i, j, mi, config=2)
+
+    @staticmethod
+    def has_checkpoint(path: str | None) -> bool:
+        """True if the DB already holds two-view geometries (ref :113)."""
+        if path is None or not os.path.exists(path):
+            return False
+        with scene_io.ColmapDatabase(path) as db:
+            return db.num_two_view_geometries() > 0
+
+    # ----------------------------------------------------------------- run
+    def run(self):
+        """Extract+match+verify, or load from a checkpoint database."""
+        if self.has_checkpoint(self.database_path):
+            return self.load_from_database(self.database_path)
+        self.extract_features()
+        self.match_and_verify()
+        if self.database_path:
+            self.write_database()
+        return self.to_mapper_inputs()
+
+    def load_from_database(self, path: str):
+        """Reconstruct mapper inputs from a checkpoint DB (ref :113-147)."""
+        with scene_io.ColmapDatabase(path) as db:
+            cams = db.read_cameras()
+            imgs = db.read_images()
+            graph = CorrespondenceGraph()
+            images = {}
+            for i, (name, cam_id) in sorted(imgs.items()):
+                kp = db.read_keypoints(i)[:, :2].astype(np.float64)
+                graph.add_image(i, len(kp))
+                images[i] = ImageRecord(
+                    image_id=i, name=name, camera_id=cam_id,
+                    qvec=np.array([1.0, 0, 0, 0]), tvec=np.zeros(3),
+                    xys=kp, point3D_ids=np.full(len(kp), -1, np.int64))
+            for (i, j, m, config, F, E, H) in \
+                    db.read_all_two_view_geometries():
+                if len(m):
+                    graph.add_matches(i, j, m)
+        return cams, images, graph
+
+    def to_mapper_inputs(self):
+        """(cameras, images, graph) for the incremental/distributed mapper."""
+        graph = CorrespondenceGraph()
+        images = {}
+        cam_by_id = {}
+        for i in sorted(self.images):
+            kp_mask = self.masks[i]
+            kp = self.keypoints[i][kp_mask].astype(np.float64)
+            graph.add_image(i, len(kp))
+            cam = self.cameras[i]
+            cam_by_id[cam.camera_id] = cam
+            images[i] = ImageRecord(
+                image_id=i, name=f"image{i:05d}.jpg",
+                camera_id=cam.camera_id,
+                qvec=np.array([1.0, 0, 0, 0]), tvec=np.zeros(3),
+                xys=kp, point3D_ids=np.full(len(kp), -1, np.int64))
+        for (i, j), (R, t, inl_m, ninl) in self.two_view.items():
+            remap_i = np.cumsum(self.masks[i]) - 1
+            remap_j = np.cumsum(self.masks[j]) - 1
+            mm = np.stack([remap_i[inl_m[:, 0]], remap_j[inl_m[:, 1]]], 1)
+            graph.add_matches(i, j, mm.astype(np.uint32))
+        return cam_by_id, images, graph
