@@ -91,3 +91,46 @@ def match_pairs(descriptors: dict, masks: dict, pairs: list,
             m = m[m[:, 0] >= 0][: opts.max_num_matches]
             out[chunk[k]] = m.astype(np.uint32)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "use_homography"))
+def guided_match_pair(d1, d2, xy1, xy2, m1, m2, G,
+                      max_error_px: float = 4.0,
+                      opts: MatchingOptions = MatchingOptions(),
+                      use_homography: bool = False):
+    """Geometry-guided matching for ONE pair (ref: guided matching in
+    matching.cc — re-match with the epipolar/homography constraint).
+
+    d1, d2 (K, 128); xy1, xy2 (K, 2) pixel keypoints; m1, m2 (K,) masks;
+    G: fundamental matrix (use_homography=False) or homography. Descriptor
+    similarity is only considered where the geometric residual is within
+    max_error_px — recovering matches the ratio test killed.
+    """
+    K = d1.shape[0]
+    sim = jnp.einsum("kd,jd->kj", d1, d2,
+                     preferred_element_type=jnp.float32)
+    ones = jnp.ones((K, 1), xy1.dtype)
+    p1 = jnp.concatenate([xy1, ones], axis=-1)
+    p2 = jnp.concatenate([xy2, ones], axis=-1)
+    if use_homography:
+        q = p1 @ G.T
+        w = jnp.where(jnp.abs(q[:, 2:]) < 1e-12, 1e-12, q[:, 2:])
+        proj = q[:, :2] / w
+        geom2 = jnp.sum((proj[:, None, :] - xy2[None, :, :]) ** 2, -1)
+    else:
+        l2 = p1 @ G.T                                   # epipolar lines
+        num = (l2[:, None, :] * p2[None, :, :]).sum(-1) ** 2
+        den = l2[:, 0:1] ** 2 + l2[:, 1:2] ** 2
+        geom2 = num / jnp.maximum(den, 1e-12)
+    ok_geom = geom2 < max_error_px ** 2
+    neg = jnp.finfo(sim.dtype).min
+    sim = jnp.where(ok_geom & m1[:, None] & m2[None, :], sim, neg)
+    best = jnp.argmax(sim, axis=1)
+    best_val = jnp.max(sim, axis=1)
+    rev = jnp.argmax(sim, axis=0)
+    mutual = jnp.take_along_axis(rev, best, 0) == jnp.arange(K)
+    d_best = jnp.sqrt(jnp.maximum(2.0 - 2.0 * best_val, 0.0))
+    ok = mutual & (d_best < opts.max_distance) & m1 & (best_val > neg / 2)
+    matches = jnp.stack([jnp.where(ok, jnp.arange(K), -1),
+                         jnp.where(ok, best, -1)], axis=-1)
+    return matches.astype(jnp.int32), jnp.sum(ok)

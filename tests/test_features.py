@@ -170,3 +170,33 @@ class TestRetrieval:
                               max_distance=15.0)
         assert ((0, 1) in [(i, j) for (i, j, _) in sp])
         assert not any(abs(i - j) > 1 for (i, j, _) in sp)
+
+
+class TestGuidedMatching:
+    def test_recovers_ratio_killed_matches(self):
+        import jax
+        rng = np.random.default_rng(5)
+        K = 64
+        # repetitive texture: half the descriptors are near-duplicates so
+        # the ratio test kills them; guided matching recovers them
+        base = rng.normal(0, 1, (K // 2, 128))
+        d1 = np.concatenate([base, base + rng.normal(0, 0.01, base.shape)])
+        d2 = d1 + rng.normal(0, 0.01, d1.shape)
+        d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
+        d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+        xy1 = rng.uniform(0, 500, (K, 2))
+        xy2 = xy1 + np.array([3.0, 0.0])   # pure shift homography
+        m = np.ones(K, bool)
+        # plain matching: ratio test rejects the duplicated half
+        plain, n_plain = fm.match_pair_batch(
+            jnp.asarray(d1[None]), jnp.asarray(d2[None]),
+            jnp.asarray(m[None]), jnp.asarray(m[None]))
+        H = np.array([[1.0, 0, 3.0], [0, 1, 0], [0, 0, 1]])
+        guided, n_guided = fm.guided_match_pair(
+            jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(xy1),
+            jnp.asarray(xy2), jnp.asarray(m), jnp.asarray(m),
+            jnp.asarray(H), max_error_px=2.0, use_homography=True)
+        assert int(n_guided) > int(n_plain[0])
+        g = np.asarray(guided)
+        g = g[g[:, 0] >= 0]
+        assert (g[:, 0] == g[:, 1]).mean() > 0.9
