@@ -68,12 +68,33 @@ def match_pair_batch(d1: jax.Array, d2: jax.Array, m1: jax.Array,
 
 def match_pairs(descriptors: dict, masks: dict, pairs: list,
                 opts: MatchingOptions = MatchingOptions(),
-                batch_size: int = 16) -> dict:
+                batch_size: int = 16,
+                use_pallas: bool | None = None) -> dict:
     """Host wrapper: match many image pairs in device batches.
 
     descriptors: image_id -> (K, 128) np float (normalized); masks:
     image_id -> (K,) bool. Returns pair -> (M, 2) uint32 match arrays.
+
+    use_pallas: route through the fused Pallas top-2 kernel
+    (ops/pallas_matcher) — default on TPU when K is 128-aligned.
     """
+    if use_pallas is None:
+        first = next(iter(descriptors.values())) if descriptors else None
+        use_pallas = (jax.default_backend() not in ("cpu",)
+                      and first is not None
+                      and first.shape[0] % 128 == 0)
+    if use_pallas:
+        from dagsfm_tpu.ops.pallas_matcher import pallas_match
+        out = {}
+        for (i, j) in pairs:
+            m, _ = pallas_match(
+                jnp.asarray(descriptors[i]), jnp.asarray(descriptors[j]),
+                jnp.asarray(masks[i]), jnp.asarray(masks[j]),
+                max_ratio=opts.max_ratio, max_distance=opts.max_distance)
+            m = np.asarray(m)
+            m = m[m[:, 0] >= 0][: opts.max_num_matches]
+            out[(i, j)] = m.astype(np.uint32)
+        return out
     out = {}
     for s in range(0, len(pairs), batch_size):
         chunk = pairs[s: s + batch_size]

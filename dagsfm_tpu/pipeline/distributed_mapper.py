@@ -271,13 +271,51 @@ class DistributedMapperController:
                 errs.append(np.sum((uv - im.xys[kp]) ** 2))
         return float(np.sqrt(np.mean(errs))) if errs else 0.0
 
+    # -------------------------------------------- checkpoint / resume
+    def export_partitions(self, path: str):
+        """Write per-cluster models under partition<i>/ (ref
+        ExportUntransformedLocalRecons :935-943)."""
+        import os
+        from dagsfm_tpu.scene import io as scene_io
+        for k, rec in enumerate(self.local_recons):
+            scene_io.write_model_bin(rec,
+                                     os.path.join(path, f"partition{k}"))
+
+    @staticmethod
+    def partitions_exist(path: str) -> bool:
+        """Ref IsPartialReconsExist (:544-569)."""
+        import os
+        return os.path.exists(os.path.join(path, "partition0",
+                                           "cameras.bin"))
+
+    def load_partitions(self, path: str):
+        import os
+        from dagsfm_tpu.scene import io as scene_io
+        self.local_recons = []
+        k = 0
+        while os.path.exists(os.path.join(path, f"partition{k}",
+                                          "cameras.bin")):
+            self.local_recons.append(
+                scene_io.read_model_bin(os.path.join(path,
+                                                     f"partition{k}")))
+            k += 1
+        return self.local_recons
+
     # ------------------------------------------------------------- run
-    def run(self) -> Reconstruction:
+    def run(self, checkpoint_path: str | None = None) -> Reconstruction:
+        """Full pipeline. With checkpoint_path: per-cluster models are
+        exported there, and an existing set of partitions short-circuits
+        straight to the merge (resumable runs, ref :544-569)."""
         total0 = time.time()
-        self.build_view_graph()
-        self.filter_and_average_rotations()
-        self.cluster_scenes()
-        self.reconstruct_partitions()
+        if checkpoint_path and self.partitions_exist(checkpoint_path):
+            self.load_partitions(checkpoint_path)
+        else:
+            self.build_view_graph()
+            self.filter_and_average_rotations()
+            self.cluster_scenes()
+            self.reconstruct_partitions()
+            if checkpoint_path:
+                self.export_partitions(checkpoint_path)
         if not self.local_recons:
             return Reconstruction()
         merged = self.merge_clusters()

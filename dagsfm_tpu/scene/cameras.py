@@ -264,8 +264,14 @@ def cam_from_img(model_id, params, xy, num_iters: int = 25):
     """Pixel(s) (..., 2) -> normalized camera ray coords (u, v).
 
     Iterative Newton undistortion (ref: camera_models.h IterativeUndistortion)
-    with a fixed trip count so it stays jittable.
+    with a fixed trip count so it stays jittable. Batched inputs are
+    vmapped internally (the Newton Jacobian is per-point 2x2).
     """
+    if xy.ndim > 1:
+        flat = xy.reshape(-1, 2)
+        out = jax.vmap(lambda p: cam_from_img(model_id, params, p,
+                                              num_iters))(flat)
+        return out.reshape(xy.shape)
     f = focal_and_pp(model_id, params)
     uv_dist = (xy - f[..., 2:]) / f[..., :2]
 
