@@ -161,30 +161,40 @@ class DistributedMapperController:
         return self.clusters
 
     # ------------------------------------- 4. per-cluster reconstruction
-    def reconstruct_partitions(self):
-        """Sequential per-cluster incremental SfM (ref :659-740; biggest
-        cluster first like the size-sorted job queue :675-679)."""
+    def _reconstruct_one_cluster(self, cluster):
+        sub_graph = CorrespondenceGraph()
+        idset = set(cluster.image_ids)
+        for i in cluster.image_ids:
+            sub_graph.add_image(i, self.graph.num_keypoints[i])
+        for (i, j), m in self.graph.pair_matches.items():
+            if i in idset and j in idset:
+                sub_graph.add_matches(i, j, m)
+        sub_images = {i: self.images[i] for i in cluster.image_ids}
+        mapper = IncrementalMapper(self.cameras, sub_images, sub_graph,
+                                   self.opts.mapper)
+        rec = mapper.reconstruct()
+        for im in rec.images.values():
+            im.cluster_id = cluster.cluster_id
+        return rec
+
+    def reconstruct_partitions(self, num_threads: int = 1):
+        """Per-cluster incremental SfM, biggest cluster first (size-sorted
+        job queue parity, ref :675-679). num_threads > 1 overlaps host
+        bookkeeping with device dispatch across clusters (OpenMP
+        `parallel for` parity, ref :704)."""
         t0 = time.time()
-        self.local_recons = []
         order = sorted(range(len(self.clusters)),
                        key=lambda c: -len(self.clusters[c].image_ids))
-        for c in order:
-            cluster = self.clusters[c]
-            sub_graph = CorrespondenceGraph()
-            idset = set(cluster.image_ids)
-            for i in cluster.image_ids:
-                sub_graph.add_image(i, self.graph.num_keypoints[i])
-            for (i, j), m in self.graph.pair_matches.items():
-                if i in idset and j in idset:
-                    sub_graph.add_matches(i, j, m)
-            sub_images = {i: self.images[i] for i in cluster.image_ids}
-            mapper = IncrementalMapper(self.cameras, sub_images, sub_graph,
-                                       self.opts.mapper)
-            rec = mapper.reconstruct()
-            for im in rec.images.values():
-                im.cluster_id = cluster.cluster_id
-            if rec.num_reg_images() >= 2:
-                self.local_recons.append(rec)
+        jobs = [self.clusters[c] for c in order]
+        if num_threads > 1:
+            from dagsfm_tpu.parallel.distributed import \
+                run_clusters_threaded
+            recs = run_clusters_threaded(
+                jobs, self._reconstruct_one_cluster,
+                max_workers=num_threads)
+        else:
+            recs = [self._reconstruct_one_cluster(c) for c in jobs]
+        self.local_recons = [r for r in recs if r.num_reg_images() >= 2]
         self.timings["reconstruction"] = time.time() - t0
         return self.local_recons
 
