@@ -44,7 +44,8 @@ def main():
     prob = ba.make_problem(arrays, const_image=const, dtype=dtype)
 
     iters = 10
-    opts = ba.BAOptions(max_iterations=iters, loss="cauchy", loss_scale=1.0)
+    opts = ba.BAOptions(max_iterations=iters, loss="cauchy", loss_scale=1.0,
+                        pinhole_only=ba.all_pinhole(arrays))
 
     solve = jax.jit(lambda p: ba.solve(p, opts))
     # compile

@@ -68,6 +68,13 @@ class BAOptions(NamedTuple):
     refine_focal: bool = False
     refine_extra: bool = False     # principal point + distortion slots
     point_damping: float = 1e-8
+    # static specializations (jit keys):
+    #  pinhole_only: all cameras are SIMPLE_PINHOLE/PINHOLE -> projection
+    #  jacobians skip the 11-way camera-model switch (big trace/HLO cut)
+    pinhole_only: bool = False
+    #  schur_assembly: 'scan' = T*T sequential scatter steps (low memory),
+    #  'flat' = one (P*T*T) einsum + segment_sum (fast on TPU), 'auto'
+    schur_assembly: str = "auto"
 
 
 class BAStats(NamedTuple):
@@ -77,15 +84,33 @@ class BAStats(NamedTuple):
     lam: jax.Array
 
 
+def all_pinhole(arrays) -> bool:
+    """True if every camera is SIMPLE_PINHOLE/PINHOLE (enables the
+    pinhole_only BAOptions fast path)."""
+    import numpy as np
+    mids = np.asarray(arrays.cam_model_id)
+    return bool(np.isin(mids, [cm.SIMPLE_PINHOLE, cm.PINHOLE]).all())
+
+
 def make_problem(arrays, max_track_len: int = 16,
                  const_image=None, const_points=None,
                  dtype=jnp.float64) -> BAProblem:
-    """Build a BAProblem from SceneArrays (+ track grouping on host)."""
+    """Build a BAProblem from SceneArrays (+ track grouping on host).
+
+    The track-slot width T is shrunk to the actual max track length
+    (rounded up to a multiple of 4) — the Schur assembly cost scales
+    with T or T^2, so unused padded slots are pure waste.
+    """
     import numpy as np
     from dagsfm_tpu.ops.triangulation import track_blocks_from_obs
 
     P = arrays.points_xyz.shape[0]
     N = arrays.obs_xy.shape[0]
+    opn = np.asarray(arrays.obs_point)
+    omn = np.asarray(arrays.obs_mask)
+    if omn.any():
+        actual = int(np.bincount(opn[omn], minlength=P).max())
+        max_track_len = min(max_track_len, max(4, (actual + 3) // 4 * 4))
     # group observation indices by point
     trk_obs = np.zeros((P, max_track_len), np.int32)
     trk_mask = np.zeros((P, max_track_len), bool)
@@ -153,6 +178,20 @@ def _project_one(dcam, dpt, dfoc, qvec, tvec, model_id, params, xyz, xy):
     return jnp.where(bad, 1e3 * jnp.ones_like(r), r)
 
 
+def _project_one_pinhole(dcam, dpt, qvec, tvec, params, xyz, xy):
+    """SIMPLE_PINHOLE/PINHOLE residual without the model switch."""
+    dq = rops.angleaxis_to_quat(dcam[:3])
+    q = rops.quat_multiply(dq, qvec)
+    t = tvec + dcam[3:]
+    Xc = rops.quat_rotate(q, xyz + dpt) + t
+    z = jnp.where(jnp.abs(Xc[2]) < 1e-12, 1e-12, Xc[2])
+    # params[0]=f or fx; single-focal layout (f, cx, cy) vs (fx, fy, cx, cy)
+    # is resolved by the caller packing (fx, fy, cx, cy) into slots 0-3
+    proj = Xc[:2] / z * params[:2] + params[2:4]
+    r = proj - xy
+    return jnp.where(Xc[2] < 1e-6, 1e3 * jnp.ones_like(r), r)
+
+
 def _is_double_focal(model_id):
     out = jnp.zeros_like(model_id, dtype=bool)
     for mid in (cm.PINHOLE, cm.OPENCV, cm.OPENCV_FISHEYE, cm.FULL_OPENCV,
@@ -161,7 +200,19 @@ def _is_double_focal(model_id):
     return out
 
 
-def _residuals_and_jacobians(prob: BAProblem, refine_focal: bool):
+def _pinhole_fparams(prob: BAProblem):
+    """(C, 4) = (fx, fy, cx, cy) for pinhole-family cameras."""
+    p = prob.cam_params
+    single = ~_is_double_focal(prob.cam_model_id)
+    fx = p[:, 0]
+    fy = jnp.where(single, p[:, 0], p[:, 1])
+    cx = jnp.where(single, p[:, 1], p[:, 2])
+    cy = jnp.where(single, p[:, 2], p[:, 3])
+    return jnp.stack([fx, fy, cx, cy], axis=-1)
+
+
+def _residuals_and_jacobians(prob: BAProblem, refine_focal: bool,
+                             pinhole_only: bool = False):
     """Batched (r (N,2), Jc (N,2,6), Jp (N,2,3), Jf (N,2,1))."""
     q = prob.image_qvec[prob.obs_image]
     t = prob.image_tvec[prob.obs_image]
@@ -173,6 +224,19 @@ def _residuals_and_jacobians(prob: BAProblem, refine_focal: bool):
     zeros6 = jnp.zeros(6, prob.obs_xy.dtype)
     zeros3 = jnp.zeros(3, prob.obs_xy.dtype)
     zeros2 = jnp.zeros(2, prob.obs_xy.dtype)
+
+    if pinhole_only and not refine_focal:
+        fpar = _pinhole_fparams(prob)[cidx]
+
+        def one_ph(qv, tv, p4, x, xy):
+            f = lambda dc, dp: _project_one_pinhole(dc, dp, qv, tv, p4,
+                                                    x, xy)
+            r = f(zeros6, zeros3)
+            Jc, Jp = jax.jacfwd(f, argnums=(0, 1))(zeros6, zeros3)
+            return r, Jc, Jp
+
+        r, Jc, Jp = jax.vmap(one_ph)(q, t, fpar, X, prob.obs_xy)
+        return r, Jc, Jp, jnp.zeros(r.shape + (1,), r.dtype)
 
     def one(qv, tv, m, p, x, xy):
         f = lambda dc, dp, df: _project_one(dc, dp, df, qv, tv, m, p, x, xy)
@@ -267,17 +331,29 @@ def _build_and_solve(prob: BAProblem, r, Jc, Jp, w, lam, opts: BAOptions):
         corr.reshape(-1, 6), slot_img.reshape(-1), I)
 
     # reduced camera matrix: S = U - sum_p Y_k W_lᵀ scattered to (i_k, i_l)
-    S = jnp.zeros((I, I, 6, 6), dtype)
     idx_flat = (slot_img[:, :, None] * I + slot_img[:, None, :])    # (P,T,T)
+    P_ = Y.shape[0]
+    mode = opts.schur_assembly
+    if mode == "auto":
+        # flat path materializes P*T*T 6x6 blocks; cap at ~256 MB f32
+        mode = "flat" if P_ * T * T * 36 * 4 < (1 << 28) else "scan"
+    if mode == "flat":
+        # one batched einsum (MXU) + one segment_sum — no sequential scan
+        blocks = jnp.einsum("ptij,pskj->ptsik", Y, slot_W)  # (P,T,T,6,6)
+        S = -jax.ops.segment_sum(
+            blocks.reshape(-1, 36), idx_flat.reshape(-1), I * I)
+        S = S.reshape(I, I, 6, 6)
+    else:
+        S = jnp.zeros((I, I, 6, 6), dtype)
 
-    def body(S, kl):
-        k, l = kl // T, kl % T
-        blk = jnp.einsum("pij,pkj->pik", Y[:, k], slot_W[:, l])     # (P,6,6)
-        S = S.reshape(I * I, 6, 6).at[idx_flat[:, k, l]].add(-blk) \
-            .reshape(I, I, 6, 6)
-        return S, None
+        def body(S, kl):
+            k, l = kl // T, kl % T
+            blk = jnp.einsum("pij,pkj->pik", Y[:, k], slot_W[:, l])
+            S = S.reshape(I * I, 6, 6).at[idx_flat[:, k, l]].add(-blk) \
+                .reshape(I, I, 6, 6)
+            return S, None
 
-    S, _ = jax.lax.scan(body, S, jnp.arange(T * T))
+        S, _ = jax.lax.scan(body, S, jnp.arange(T * T))
     S = S.at[jnp.arange(I), jnp.arange(I)].add(U)
 
     # pin constant cameras: identity rows/cols, zero rhs
@@ -345,7 +421,8 @@ def solve(prob: BAProblem, opts: BAOptions = BAOptions()):
 
     def lm_iter(carry, _):
         prob, lam, cost = carry
-        r, Jc, Jp, Jf = _residuals_and_jacobians(prob, opts.refine_focal)
+        r, Jc, Jp, Jf = _residuals_and_jacobians(prob, opts.refine_focal,
+                                                 opts.pinhole_only)
         r2 = jnp.sum(r * r, axis=-1)
         w = _robust_weights(r2, opts.loss, opts.loss_scale)
         dcam, dpt = _build_and_solve(prob, r, Jc, Jp, w, lam, opts)
