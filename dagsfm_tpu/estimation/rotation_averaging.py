@@ -163,6 +163,49 @@ def estimate_rotations(num_images: int, edges: np.ndarray,
     return np.einsum("nij,kj->nik", R, R[0])
 
 
+def estimate_rotations_nonlinear(num_images: int, edges: np.ndarray,
+                                 rel_rot: np.ndarray,
+                                 init: np.ndarray | None = None,
+                                 iterations: int = 30) -> np.ndarray:
+    """Nonlinear (Gauss-Newton) rotation refinement.
+
+    Counterpart of /root/reference/src/rotation_estimation/
+    nonlinear_rotation_estimator.{h,cpp} (Ceres problem over pairwise
+    rotation errors, quaternion manifold). GN with unit weights is the
+    same normal-equations iteration Ceres performs on this problem; it
+    reuses the IRLS machinery with the robust weight turned off
+    (sigma -> inf makes the Geman-McClure weight 1).
+    """
+    if init is None:
+        init = spanning_tree_init(num_images, edges, rel_rot)
+    opts = RAOptions(l1_iterations=0, irls_iterations=iterations,
+                     sigma_deg=1e9)
+    R = _solve_ra(jnp.asarray(init), jnp.asarray(edges, jnp.int32),
+                  jnp.asarray(rel_rot), opts, num_images)
+    R = np.asarray(R)
+    return np.einsum("nij,kj->nik", R, R[0])
+
+
+def align_rotations(estimated: np.ndarray,
+                    reference: np.ndarray) -> np.ndarray:
+    """Globally align `estimated` rotations onto `reference`.
+
+    Counterpart of /root/reference/src/rotation_estimation/
+    align_rotations.{h,cpp} (used by tests to remove the gauge before
+    computing angular errors). Closed-form chordal L2 mean: S = proj_SO3(
+    Σ_k R_ref_k R_est_kᵀ); returns estimated rotations with R_k <- R_k Sᵀ
+    ... i.e. each aligned as R_ref_k ≈ R_est_k @ S_right where S_right is
+    chosen in the shared world frame.
+    """
+    est = np.asarray(estimated, float)
+    ref = np.asarray(reference, float)
+    # world-frame gauge: R_ref_k = R_est_k @ S  (S rotates the world)
+    M = np.einsum("kji,kjl->il", est, ref)     # Σ R_estᵀ R_ref
+    U, _, Vt = np.linalg.svd(M)
+    S = U @ np.diag([1.0, 1.0, np.sign(np.linalg.det(U @ Vt))]) @ Vt
+    return np.einsum("kij,jl->kil", est, S)
+
+
 def filter_pairs_from_orientation(edges: np.ndarray, rel_rot: np.ndarray,
                                   global_R: np.ndarray,
                                   max_angle_deg: float = 5.0) -> np.ndarray:

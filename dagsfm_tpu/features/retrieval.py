@@ -155,3 +155,57 @@ def spatial_pairs(image_ids: list, locations: np.ndarray,
             out[keyp] = -float(d[a, b])
     return sorted([(i, j, s) for (i, j), s in out.items()],
                   key=lambda t: -t[2])
+
+
+def transitive_pairs(matched_pairs: list, num_iterations: int = 3,
+                     batch_size: int = 1000) -> list:
+    """Transitive closure pairing (ref TransitiveMatchingOptions
+    batch_size=1000, num_iterations=3, matching.h:486): if (a,b) and
+    (b,c) matched, propose (a,c). Returns NEW pairs only."""
+    have = set()
+    adj: dict = {}
+    for i, j, *_ in matched_pairs:
+        a, b = (i, j) if i < j else (j, i)
+        have.add((a, b))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    new_out = []
+    for _ in range(num_iterations):
+        fresh = []
+        for b, nbrs in list(adj.items()):
+            ns = sorted(nbrs)
+            for x in range(len(ns)):
+                for y in range(x + 1, len(ns)):
+                    a, c = ns[x], ns[y]
+                    if (a, c) not in have:
+                        fresh.append((a, c, 0.0))
+                        have.add((a, c))
+                        if len(fresh) >= batch_size:
+                            break
+                if len(fresh) >= batch_size:
+                    break
+            if len(fresh) >= batch_size:
+                break
+        if not fresh:
+            break
+        for a, c, _ in fresh:
+            adj.setdefault(a, set()).add(c)
+            adj.setdefault(c, set()).add(a)
+        new_out.extend(fresh)
+    return new_out
+
+
+def pairs_from_file(path: str, name_to_id: dict) -> list:
+    """Import explicit pair list "name1 name2" per line (ref
+    ImagePairsMatchingOptions match_list_path, matching.h:511)."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 2 or line.lstrip().startswith("#"):
+                continue
+            a, b = name_to_id.get(parts[0]), name_to_id.get(parts[1])
+            if a is None or b is None or a == b:
+                continue
+            out.append((min(a, b), max(a, b), 0.0))
+    return out

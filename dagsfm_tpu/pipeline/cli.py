@@ -186,6 +186,13 @@ def cmd_model_converter(args):
         scene_io.write_model_text(rec, args.output_path)
     elif args.output_type == "PLY":
         scene_io.write_model_ply(rec, args.output_path)
+    elif args.output_type == "NVM":
+        from dagsfm_tpu.scene import exporters
+        exporters.write_nvm(rec, args.output_path)
+    elif args.output_type == "Bundler":
+        from dagsfm_tpu.scene import exporters
+        exporters.write_bundler(rec, args.output_path,
+                                args.output_path + ".list.txt")
     else:
         raise SystemExit(f"unknown output_type {args.output_type}")
     print(f"converted -> {args.output_path} ({args.output_type})")
