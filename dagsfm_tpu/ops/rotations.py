@@ -245,3 +245,38 @@ def quat_to_rotmat_np(q):
         2 * (xz - wy), 2 * (yz + wx), ww - xx - yy + zz,
     ], axis=-1)
     return m.reshape(q.shape[:-1] + (3, 3))
+
+
+def rotmat_to_quat_np(R):
+    """Vectorized numpy rotation matrix(es) -> wxyz quaternion(s)
+    (Shepperd's method, stable for all traces)."""
+    import numpy as np
+    R = np.asarray(R, np.float64)
+    single = R.ndim == 2
+    Rb = R.reshape(-1, 3, 3)
+    out = np.empty((len(Rb), 4))
+    for k, m in enumerate(Rb):
+        t = np.trace(m)
+        if t > 0:
+            s = np.sqrt(t + 1.0) * 2
+            q = np.array([0.25 * s, (m[2, 1] - m[1, 2]) / s,
+                          (m[0, 2] - m[2, 0]) / s,
+                          (m[1, 0] - m[0, 1]) / s])
+        elif m[0, 0] > m[1, 1] and m[0, 0] > m[2, 2]:
+            s = np.sqrt(1.0 + m[0, 0] - m[1, 1] - m[2, 2]) * 2
+            q = np.array([(m[2, 1] - m[1, 2]) / s, 0.25 * s,
+                          (m[0, 1] + m[1, 0]) / s,
+                          (m[0, 2] + m[2, 0]) / s])
+        elif m[1, 1] > m[2, 2]:
+            s = np.sqrt(1.0 + m[1, 1] - m[0, 0] - m[2, 2]) * 2
+            q = np.array([(m[0, 2] - m[2, 0]) / s,
+                          (m[0, 1] + m[1, 0]) / s, 0.25 * s,
+                          (m[1, 2] + m[2, 1]) / s])
+        else:
+            s = np.sqrt(1.0 + m[2, 2] - m[0, 0] - m[1, 1]) * 2
+            q = np.array([(m[1, 0] - m[0, 1]) / s,
+                          (m[0, 2] + m[2, 0]) / s,
+                          (m[1, 2] + m[2, 1]) / s, 0.25 * s])
+        out[k] = q if q[0] >= 0 else -q
+    out /= np.linalg.norm(out, axis=-1, keepdims=True)
+    return out[0] if single else out.reshape(R.shape[:-2] + (4,))
