@@ -223,6 +223,201 @@ def cmd_automatic_reconstructor(args):
           f"{rec.num_points3D()} points -> {out}")
 
 
+def cmd_database_creator(args):
+    """Create an empty COLMAP-schema database (ref database_creator)."""
+    from dagsfm_tpu.scene.io import ColmapDatabase
+    ColmapDatabase(args.database_path).close()
+    print(f"created {args.database_path}")
+
+
+def cmd_matches_importer(args):
+    """Import raw feature matches from a text file (ref matches_importer
+    --match_type raw: blocks of 'name1 name2' then 'i j' rows)."""
+    from dagsfm_tpu.scene.io import ColmapDatabase
+    db = ColmapDatabase(args.database_path)
+    name_to_id = {name: iid for iid, (name, _)
+                  in db.read_images().items()}
+    cur_pair, rows, n = None, [], 0
+    def flush():
+        nonlocal rows, n
+        if cur_pair and rows:
+            db.add_matches(cur_pair[0], cur_pair[1],
+                           np.asarray(rows, np.uint32))
+            n += 1
+        rows = []
+    with open(args.match_list_path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                flush(); cur_pair = None
+            elif len(parts) == 2 and parts[0] in name_to_id:
+                flush()
+                cur_pair = (name_to_id[parts[0]], name_to_id[parts[1]])
+            elif cur_pair and len(parts) == 2:
+                rows.append((int(parts[0]), int(parts[1])))
+    flush()
+    db.close()
+    print(f"imported matches for {n} pairs")
+
+
+def cmd_point_triangulator(args):
+    """Triangulate a model with known poses from database matches
+    (ref point_triangulator)."""
+    from dagsfm_tpu.pipeline.feature_pipeline import FeaturePipeline
+    from dagsfm_tpu.scene import io as scene_io
+    from dagsfm_tpu.sfm.incremental_mapper import (IncrementalMapper,
+                                                   MapperOptions)
+    rec = scene_io.read_model_bin(args.input_path)
+    fp = FeaturePipeline({}, {}, database_path=args.database_path)
+    cams, images, graph = fp.load_from_database(args.database_path)
+    mapper = IncrementalMapper(cams, images, graph, MapperOptions())
+    # install known poses, then triangulate every registered image
+    name_to_db = {im.name: iid for iid, im in images.items()}
+    n_tri = 0
+    for iid in rec.reg_image_ids:
+        im = rec.images[iid]
+        did = name_to_db.get(im.name)
+        if did is None:
+            continue
+        mapper.rec.images[did].qvec = im.qvec
+        mapper.rec.images[did].tvec = im.tvec
+        mapper.rec.register_image(did)
+    for did in mapper.rec.reg_image_ids:
+        n_tri += mapper.triangulate_image(did)
+    out = mapper.rec
+    os.makedirs(args.output_path, exist_ok=True)
+    scene_io.write_model_bin(out, args.output_path)
+    print(f"triangulated {n_tri} observations, "
+          f"{out.num_points3D()} points -> {args.output_path}")
+
+
+def cmd_image_undistorter(args):
+    """Undistort model (+ export PMVS/CMP-MVS metadata) (ref
+    image_undistorter --output_type COLMAP|PMVS|CMP-MVS)."""
+    from dagsfm_tpu.scene import exporters, io as scene_io
+    from dagsfm_tpu.scene.undistortion import undistort_reconstruction
+    rec = scene_io.read_model_bin(args.input_path)
+    und = undistort_reconstruction(rec)
+    os.makedirs(args.output_path, exist_ok=True)
+    if args.output_type == "PMVS":
+        exporters.write_pmvs_workspace(und, args.output_path)
+    elif args.output_type == "CMP-MVS":
+        exporters.write_cmpmvs_workspace(und, args.output_path)
+    else:
+        sparse = os.path.join(args.output_path, "sparse")
+        os.makedirs(sparse, exist_ok=True)
+        scene_io.write_model_bin(und, sparse)
+    print(f"undistorted -> {args.output_path} ({args.output_type})")
+
+
+def cmd_model_analyzer(args):
+    """Print model statistics (ref model_analyzer / ShowReconInfo)."""
+    from dagsfm_tpu.scene import io as scene_io
+    rec = scene_io.read_model_bin(args.input_path)
+    tr = [len(p.track) for p in rec.points3D.values()]
+    mean_tr = float(np.mean(tr)) if tr else 0.0
+    obs = int(np.sum(tr)) if tr else 0
+    print(json.dumps({
+        "num_cameras": len(rec.cameras),
+        "num_images": len(rec.images),
+        "num_reg_images": rec.num_reg_images(),
+        "num_points3D": rec.num_points3D(),
+        "num_observations": obs,
+        "mean_track_length": round(mean_tr, 3),
+        "mean_observations_per_image": round(
+            obs / max(rec.num_reg_images(), 1), 3),
+        "mean_reprojection_error_px": round(
+            rec.compute_mean_reprojection_error(), 4),
+    }))
+
+
+def cmd_model_merger(args):
+    """Merge two overlapping models via Sim(3) (ref model_merger)."""
+    from dagsfm_tpu.scene import io as scene_io
+    from dagsfm_tpu.sfm.aligner import SfMAligner
+    rec1 = scene_io.read_model_bin(args.input_path1)
+    rec2 = scene_io.read_model_bin(args.input_path2)
+    merged = SfMAligner([rec1, rec2]).align()
+    os.makedirs(args.output_path, exist_ok=True)
+    scene_io.write_model_bin(merged, args.output_path)
+    print(f"merged -> {merged.num_reg_images()} images, "
+          f"{merged.num_points3D()} points")
+
+
+def cmd_model_aligner(args):
+    """Robust-Sim(3) align a model to reference camera locations from a
+    text file `name x y z` (ref model_aligner --ref_images_path)."""
+    from dagsfm_tpu.ops import rotations as rops
+    from dagsfm_tpu.ops import umeyama
+    from dagsfm_tpu.scene import io as scene_io
+    rec = scene_io.read_model_bin(args.input_path)
+    refs = {}
+    with open(args.ref_images_path) as f:
+        for line in f:
+            p = line.split()
+            if len(p) >= 4:
+                refs[p[0]] = [float(x) for x in p[1:4]]
+    src, dst = [], []
+    for iid in rec.reg_image_ids:
+        im = rec.images[iid]
+        if im.name in refs:
+            R = np.asarray(rops.quat_to_rotmat_np(im.qvec))
+            src.append(-R.T @ im.tvec)
+            dst.append(refs[im.name])
+    if len(src) < 3:
+        raise SystemExit("need >= 3 reference locations")
+    s, R, t = umeyama.umeyama_np(np.stack(src), np.stack(dst),
+                                 with_scale=True)
+    rec.transform(float(s), np.asarray(R), np.asarray(t))
+    os.makedirs(args.output_path, exist_ok=True)
+    scene_io.write_model_bin(rec, args.output_path)
+    err = np.linalg.norm(
+        float(s) * np.stack(src) @ np.asarray(R).T + np.asarray(t)
+        - np.stack(dst), axis=1)
+    print(f"aligned with {len(src)} refs, mean error "
+          f"{err.mean():.4f} -> {args.output_path}")
+
+
+def cmd_vocab_tree_builder(args):
+    """Train a vocab tree from database descriptors (ref
+    vocab_tree_builder)."""
+    from dagsfm_tpu.features import visual_index as vi
+    from dagsfm_tpu.scene.io import ColmapDatabase
+    db = ColmapDatabase(args.database_path)
+    descs = []
+    for iid in db.read_images():
+        d = db.read_descriptors(iid)
+        if len(d):
+            descs.append(np.asarray(d, np.float32))
+    db.close()
+    train = np.concatenate(descs)
+    opts = vi.VocabTreeOptions(branching=args.branching,
+                               depth=args.depth)
+    tree = vi.build_vocab_tree(train, opts)
+    np.savez(args.vocab_tree_path,
+             proj=np.asarray(tree.proj),
+             thresholds=np.asarray(tree.thresholds),
+             **{f"level{k}": np.asarray(l)
+                for k, l in enumerate(tree.levels)})
+    print(f"vocab tree: {tree.num_words} words from {len(train)} "
+          f"descriptors -> {args.vocab_tree_path}")
+
+
+def cmd_point_filtering(args):
+    """Filter 3D points by track length / reprojection error (ref
+    point_filtering)."""
+    from dagsfm_tpu.scene import io as scene_io
+    rec = scene_io.read_model_bin(args.input_path)
+    drop = [pid for pid, pt in rec.points3D.items()
+            if len(pt.track) < args.min_track_len
+            or (pt.error >= 0 and pt.error > args.max_reproj_error)]
+    for pid in drop:
+        rec.delete_point3D(pid)
+    os.makedirs(args.output_path, exist_ok=True)
+    scene_io.write_model_bin(rec, args.output_path)
+    print(f"filtered {len(drop)} points, kept {rec.num_points3D()}")
+
+
 def cmd_synthetic_scene(args):
     from dagsfm_tpu.scene import io as scene_io
     from dagsfm_tpu.scene import synthetic
@@ -303,6 +498,48 @@ def build_parser() -> argparse.ArgumentParser:
         ("--num_points", dict(type=int, default=500)),
         ("--pixel_noise", dict(type=float, default=0.5)),
         ("--seed", dict(type=int, default=0)),
+    ])
+    add("database_creator", cmd_database_creator, [
+        ("--database_path", dict(required=True)),
+    ])
+    add("matches_importer", cmd_matches_importer, [
+        ("--database_path", dict(required=True)),
+        ("--match_list_path", dict(required=True)),
+    ])
+    add("point_triangulator", cmd_point_triangulator, [
+        ("--database_path", dict(required=True)),
+        ("--input_path", dict(required=True)),
+        ("--output_path", dict(required=True)),
+    ])
+    add("image_undistorter", cmd_image_undistorter, [
+        ("--input_path", dict(required=True)),
+        ("--output_path", dict(required=True)),
+        ("--output_type", dict(default="COLMAP")),
+    ])
+    add("model_analyzer", cmd_model_analyzer, [
+        ("--input_path", dict(required=True)),
+    ])
+    add("model_merger", cmd_model_merger, [
+        ("--input_path1", dict(required=True)),
+        ("--input_path2", dict(required=True)),
+        ("--output_path", dict(required=True)),
+    ])
+    add("model_aligner", cmd_model_aligner, [
+        ("--input_path", dict(required=True)),
+        ("--ref_images_path", dict(required=True)),
+        ("--output_path", dict(required=True)),
+    ])
+    add("vocab_tree_builder", cmd_vocab_tree_builder, [
+        ("--database_path", dict(required=True)),
+        ("--vocab_tree_path", dict(required=True)),
+        ("--branching", dict(type=int, default=8)),
+        ("--depth", dict(type=int, default=2)),
+    ])
+    add("point_filtering", cmd_point_filtering, [
+        ("--input_path", dict(required=True)),
+        ("--output_path", dict(required=True)),
+        ("--min_track_len", dict(type=int, default=2)),
+        ("--max_reproj_error", dict(type=float, default=4.0)),
     ])
     return p
 
