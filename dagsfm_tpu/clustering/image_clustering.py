@@ -98,7 +98,14 @@ class ImageClustering:
                 # densify
                 _, labels = np.unique(labels, return_inverse=True)
             return labels
-        # SPECTRAL and NCUT both use the device spectral ncut relaxation
+        if ctype == "NCUT":
+            # native multilevel Graclus-style cut (ref NCutCluster ->
+            # base/graph_cut.cc); falls back to spectral if no .so
+            from dagsfm_tpu.graph import native
+            return native.ncut(len(self.nodes), earr.astype(np.int64),
+                               warr, num_clusters,
+                               seed=self.opts.seed).astype(np.int64)
+        # SPECTRAL uses the device spectral ncut relaxation
         return spectral_cluster(earr, warr, len(self.nodes), num_clusters,
                                 seed=self.opts.seed)
 

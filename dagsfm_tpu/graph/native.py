@@ -54,6 +54,9 @@ def _load():
     lib.gc_cnm_communities.restype = ctypes.c_int64
     lib.gc_cnm_communities.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
                                        f64p, i64p]
+    lib.gc_ncut.restype = ctypes.c_int64
+    lib.gc_ncut.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p, f64p,
+                            ctypes.c_int64, ctypes.c_uint64, i64p]
     _LIB = lib
     return _LIB
 
@@ -155,6 +158,29 @@ def triangles(num_nodes: int, edges: np.ndarray,
                 seen.add(key)
                 tris.append(key)
     return np.array(sorted(tris), np.int64).reshape(-1, 3)
+
+
+def ncut(num_nodes: int, edges: np.ndarray, weights: np.ndarray,
+         num_parts: int, seed: int = 0) -> np.ndarray:
+    """Multilevel normalized cut (native Graclus-style kernel k-means;
+    counterpart of ref base/graph_cut.cc ComputeNormalizedMinGraphCut).
+    Falls back to the device spectral relaxation when the shared library
+    is unavailable."""
+    lib = _load()
+    edges = _as_i64(edges)
+    weights = np.ascontiguousarray(weights, np.float64)
+    if lib is not None:
+        labels = np.empty(num_nodes, np.int64)
+        lib.gc_ncut(
+            num_nodes, len(edges),
+            edges.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            weights.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            num_parts, seed,
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return labels
+    from dagsfm_tpu.clustering.spectral import spectral_cluster
+    return spectral_cluster(edges.astype(np.int32), weights, num_nodes,
+                            num_parts, seed=seed).astype(np.int64)
 
 
 def cnm_communities(num_nodes: int, edges: np.ndarray,

@@ -254,4 +254,182 @@ int64_t gc_cnm_communities(int64_t num_nodes, int64_t num_edges,
   return next;
 }
 
+
+// ---------------------------------------------------------------------------
+// Multilevel normalized cut (Graclus-style weighted kernel k-means).
+//
+// Counterpart of the vendored Graclus/Metis cut used by NCutCluster
+// (ref src/clustering/ncut_cluster.cpp:39-54 -> base/graph_cut.cc:40-191,
+// lib/Graclus ~25k LoC). Same three phases: (1) coarsen by heavy-edge
+// matching, (2) balanced region-growing base partition, (3) uncoarsen with
+// weighted-kernel-k-means boundary refinement minimizing the normalized
+// cut objective  sum_c links(c, V\c) / deg(c).
+// Returns the number of non-empty parts; labels_out gets 0..k-1.
+// ---------------------------------------------------------------------------
+int64_t gc_ncut(int64_t num_nodes, int64_t num_edges, const int64_t* edges,
+                const double* weights, int64_t num_parts, uint64_t seed,
+                int64_t* labels_out) {
+  if (num_parts <= 1 || num_nodes <= num_parts) {
+    for (int64_t v = 0; v < num_nodes; ++v)
+      labels_out[v] = (num_parts <= 1) ? 0 : (v % num_parts);
+    return num_parts <= 1 ? 1 : std::min(num_nodes, num_parts);
+  }
+  struct Level {
+    std::vector<std::unordered_map<int64_t, double>> adj;  // merged multigraph
+    std::vector<int64_t> node_w;   // #original nodes folded in
+    std::vector<int64_t> parent;   // map into next-coarser level
+  };
+  std::vector<Level> levels(1);
+  Level& L0 = levels[0];
+  L0.adj.assign(num_nodes, {});
+  L0.node_w.assign(num_nodes, 1);
+  for (int64_t e = 0; e < num_edges; ++e) {
+    int64_t a = edges[2 * e], b = edges[2 * e + 1];
+    if (a == b) continue;
+    double w = weights ? weights[e] : 1.0;
+    L0.adj[a][b] += w;
+    L0.adj[b][a] += w;
+  }
+
+  // --- phase 1: coarsen by heavy-edge matching
+  uint64_t rng = seed * 6364136223846793005ULL + 1442695040888963407ULL;
+  auto next_rand = [&rng]() {
+    rng ^= rng << 13; rng ^= rng >> 7; rng ^= rng << 17;
+    return rng;
+  };
+  int64_t target = std::max<int64_t>(20 * num_parts, 64);
+  while ((int64_t)levels.back().adj.size() > target) {
+    Level& cur = levels.back();
+    int64_t n = cur.adj.size();
+    std::vector<int64_t> order(n);
+    std::iota(order.begin(), order.end(), 0);
+    for (int64_t i = n - 1; i > 0; --i)
+      std::swap(order[i], order[next_rand() % (i + 1)]);
+    std::vector<int64_t> match(n, -1);
+    int64_t merged = 0;
+    for (int64_t v : order) {
+      if (match[v] >= 0) continue;
+      int64_t best = -1;
+      double best_w = -1.0;
+      for (auto& [u, w] : cur.adj[v])
+        if (match[u] < 0 && w > best_w) { best_w = w; best = u; }
+      if (best >= 0) { match[v] = best; match[best] = v; ++merged; }
+      else match[v] = v;
+    }
+    if (merged == 0) break;
+    cur.parent.assign(n, -1);
+    int64_t m = 0;
+    for (int64_t v = 0; v < n; ++v) {
+      if (cur.parent[v] >= 0) continue;
+      cur.parent[v] = m;
+      if (match[v] != v) cur.parent[match[v]] = m;
+      ++m;
+    }
+    Level nxt;
+    nxt.adj.assign(m, {});
+    nxt.node_w.assign(m, 0);
+    for (int64_t v = 0; v < n; ++v) {
+      int64_t pv = cur.parent[v];
+      nxt.node_w[pv] += cur.node_w[v];
+      for (auto& [u, w] : cur.adj[v]) {
+        int64_t pu = cur.parent[u];
+        if (pu != pv) nxt.adj[pv][pu] += w;  // halves double-count below
+      }
+    }
+    // every edge visited twice (v->u and u->v): weights already symmetric
+    levels.push_back(std::move(nxt));
+  }
+
+  // --- phase 2: balanced region growing on the coarsest graph
+  Level& top = levels.back();
+  int64_t n_top = top.adj.size();
+  std::vector<int64_t> label(n_top, -1);
+  std::vector<double> part_load(num_parts, 0.0);
+  double total_w = 0;
+  for (int64_t v = 0; v < n_top; ++v) total_w += top.node_w[v];
+  double cap = total_w / num_parts;
+  // seeds: spread by picking the heaviest unassigned node each time
+  typedef std::pair<double, int64_t> QE;  // (-priority, node)
+  for (int64_t c = 0; c < num_parts; ++c) {
+    int64_t seed_v = -1;
+    for (int64_t v = 0; v < n_top; ++v)
+      if (label[v] < 0 && (seed_v < 0 ||
+                           top.node_w[v] > top.node_w[seed_v]))
+        seed_v = v;
+    if (seed_v < 0) break;
+    std::priority_queue<QE> q;
+    q.push({0.0, seed_v});
+    while (!q.empty() && part_load[c] < cap) {
+      auto [pw, v] = q.top(); q.pop();
+      if (label[v] >= 0) continue;
+      label[v] = c;
+      part_load[c] += top.node_w[v];
+      for (auto& [u, w] : top.adj[v])
+        if (label[u] < 0) q.push({w, u});
+    }
+  }
+  for (int64_t v = 0; v < n_top; ++v)
+    if (label[v] < 0) {
+      // attach leftovers to lightest part
+      int64_t c = std::min_element(part_load.begin(), part_load.end())
+                  - part_load.begin();
+      label[v] = c;
+      part_load[c] += top.node_w[v];
+    }
+
+  // --- phase 3: uncoarsen + kernel-k-means refinement at every level
+  for (int64_t li = (int64_t)levels.size() - 1; li >= 0; --li) {
+    Level& cur = levels[li];
+    int64_t n = cur.adj.size();
+    std::vector<int64_t> lab;
+    if (li == (int64_t)levels.size() - 1) {
+      lab = label;
+    } else {
+      lab.resize(n);
+      for (int64_t v = 0; v < n; ++v) lab[v] = label[cur.parent[v]];
+    }
+    // degrees + cluster stats
+    std::vector<double> deg(n, 0.0);
+    for (int64_t v = 0; v < n; ++v)
+      for (auto& [u, w] : cur.adj[v]) deg[v] += w;
+    std::vector<double> W(num_parts, 1e-12);   // sum of degrees
+    for (int64_t v = 0; v < n; ++v) W[lab[v]] += deg[v];
+    // refinement sweeps: move boundary nodes by NCut gain
+    for (int sweep = 0; sweep < 5; ++sweep) {
+      int64_t moves = 0;
+      for (int64_t v = 0; v < n; ++v) {
+        if (deg[v] <= 0) continue;
+        std::unordered_map<int64_t, double> links;
+        for (auto& [u, w] : cur.adj[v]) links[lab[u]] += w;
+        int64_t cv = lab[v];
+        double best_gain = 1e-12;
+        int64_t best_c = cv;
+        double base = links[cv] / std::max(W[cv] - deg[v], 1e-12);
+        for (auto& [c, lw] : links) {
+          if (c == cv) continue;
+          double gain = lw / (W[c] + deg[v]) - base;
+          if (gain > best_gain) { best_gain = gain; best_c = c; }
+        }
+        if (best_c != cv) {
+          W[cv] -= deg[v];
+          W[best_c] += deg[v];
+          lab[v] = best_c;
+          ++moves;
+        }
+      }
+      if (moves == 0) break;
+    }
+    label = std::move(lab);
+  }
+
+  // densify labels
+  std::vector<int64_t> remap(num_parts, -1);
+  int64_t k = 0;
+  for (int64_t v = 0; v < num_nodes; ++v) {
+    if (remap[label[v]] < 0) remap[label[v]] = k++;
+    labels_out[v] = remap[label[v]];
+  }
+  return k;
+}
+
 }  // extern "C"

@@ -90,3 +90,46 @@ def test_cnm_matches_structure():
     assert len(set(labels[:10].tolist())) == 1
     assert len(set(labels[10:].tolist())) == 1
     assert labels[0] != labels[10]
+
+
+def test_native_ncut_two_blobs():
+    """Multilevel NCut separates two dense blobs joined by one weak edge
+    (ref ncut_cluster_test.cpp style)."""
+    from dagsfm_tpu.graph import native
+    rng = np.random.default_rng(0)
+    edges, weights = [], []
+    for off in (0, 30):
+        for i in range(30):
+            for j in range(i + 1, 30):
+                if rng.random() < 0.35:
+                    edges.append((off + i, off + j))
+                    weights.append(10.0)
+    edges.append((3, 33)); weights.append(0.5)
+    labels = native.ncut(60, np.asarray(edges, np.int64),
+                         np.asarray(weights), 2, seed=1)
+    assert len(np.unique(labels)) == 2
+    # each blob nearly pure
+    l0 = np.bincount(labels[:30]).argmax()
+    l1 = np.bincount(labels[30:]).argmax()
+    assert l0 != l1
+    assert (labels[:30] == l0).mean() > 0.9
+    assert (labels[30:] == l1).mean() > 0.9
+
+
+def test_native_ncut_balance_and_k():
+    from dagsfm_tpu.graph import native
+    rng = np.random.default_rng(1)
+    n = 200
+    edges = []
+    for i in range(n):
+        for _ in range(6):
+            j = rng.integers(0, n)
+            if i != j:
+                edges.append((min(i, j), max(i, j)))
+    edges = np.unique(np.asarray(edges, np.int64), axis=0)
+    w = np.ones(len(edges))
+    labels = native.ncut(n, edges, w, 4, seed=2)
+    sizes = np.bincount(labels)
+    assert len(sizes) == 4
+    # random graph: expect rough balance (no part > 60%)
+    assert sizes.max() < 0.6 * n
