@@ -147,3 +147,56 @@ def run_clusters_threaded(jobs: list, fn, max_workers: int = 4,
             if monitor is not None:
                 monitor.complete(idx)
     return results
+
+
+def run_worker(cameras: dict, images: dict, graph, clusters: list,
+               work_dir: str, host_id: int = 0, mapper_options=None,
+               lease_timeout_s: float = 3600.0) -> list:
+    """Worker loop: claim cluster jobs by lease, reconstruct, checkpoint.
+
+    Counterpart of the reference's `colmap local_sfm_worker`
+    (exe/colmap.cc:923-1007: RPC server binding RunSfM on a shipped
+    DatabaseCache). Here the "payload" is the shared database + a
+    clusters.json job list (DistributedMapperController.export_cluster_jobs)
+    and the channel is the lease directory — including reassignment of
+    orphaned jobs, which the reference lacks.
+
+    clusters: list of dicts {"cluster_id": int, "image_ids": [int]}.
+    Returns the list of cluster ids completed by THIS worker.
+    """
+    from dagsfm_tpu.sfm.correspondence_graph import CorrespondenceGraph
+    from dagsfm_tpu.sfm.incremental_mapper import (IncrementalMapper,
+                                                   MapperOptions)
+
+    runner = ClusterJobRunner(work_dir, host_id,
+                              lease_timeout_s=lease_timeout_s)
+    order = sorted(range(len(clusters)),
+                   key=lambda k: -len(clusters[k]["image_ids"]))
+    done = []
+    for k in order:
+        if not runner.claim(k):
+            continue
+        spec = clusters[k]
+        idset = set(spec["image_ids"])
+        sub = CorrespondenceGraph()
+        for i in spec["image_ids"]:
+            sub.add_image(i, graph.num_keypoints[i])
+        for (i, j), m in graph.pair_matches.items():
+            if i in idset and j in idset:
+                sub.add_matches(i, j, m)
+        sub_images = {i: images[i] for i in spec["image_ids"]}
+        mapper = IncrementalMapper(cameras, sub_images, sub,
+                                   mapper_options or MapperOptions())
+        rec = mapper.reconstruct()
+        for im in rec.images.values():
+            im.cluster_id = spec["cluster_id"]
+        if rec.num_reg_images() >= 2:
+            runner.complete(k, rec)
+            done.append(k)
+        else:
+            # release the lease so another worker may retry differently
+            try:
+                os.remove(runner._lease_path(k))
+            except FileNotFoundError:
+                pass
+    return done

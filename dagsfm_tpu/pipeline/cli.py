@@ -223,6 +223,22 @@ def cmd_automatic_reconstructor(args):
           f"{rec.num_points3D()} points -> {out}")
 
 
+def cmd_local_sfm_worker(args):
+    """Worker process: claim cluster jobs from a shared work_dir and
+    reconstruct them (ref `colmap local_sfm_worker`, exe/colmap.cc:923;
+    RPC replaced by shared-storage leases)."""
+    from dagsfm_tpu.parallel.distributed import run_worker
+    from dagsfm_tpu.pipeline.feature_pipeline import FeaturePipeline
+    fp = FeaturePipeline({}, {}, database_path=args.database_path)
+    cams, images, graph = fp.load_from_database(args.database_path)
+    with open(os.path.join(args.work_dir, "clusters.json")) as f:
+        clusters = json.load(f)
+    done = run_worker(cams, images, graph, clusters, args.work_dir,
+                      host_id=args.host_id,
+                      lease_timeout_s=args.lease_timeout)
+    print(f"worker {args.host_id}: completed clusters {done}")
+
+
 def cmd_database_creator(args):
     """Create an empty COLMAP-schema database (ref database_creator)."""
     from dagsfm_tpu.scene.io import ColmapDatabase
@@ -498,6 +514,12 @@ def build_parser() -> argparse.ArgumentParser:
         ("--num_points", dict(type=int, default=500)),
         ("--pixel_noise", dict(type=float, default=0.5)),
         ("--seed", dict(type=int, default=0)),
+    ])
+    add("local_sfm_worker", cmd_local_sfm_worker, [
+        ("--database_path", dict(required=True)),
+        ("--work_dir", dict(required=True)),
+        ("--host_id", dict(type=int, default=0)),
+        ("--lease_timeout", dict(type=float, default=3600.0)),
     ])
     add("database_creator", cmd_database_creator, [
         ("--database_path", dict(required=True)),

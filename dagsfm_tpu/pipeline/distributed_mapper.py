@@ -291,6 +291,20 @@ class DistributedMapperController:
             scene_io.write_model_bin(rec,
                                      os.path.join(path, f"partition{k}"))
 
+    def export_cluster_jobs(self, path: str):
+        """Write clusters.json job specs for external workers (the shared-
+        storage replacement of the reference's RunSfM RPC payload: workers
+        claim jobs by lease and write partition<k>/ — see
+        parallel/distributed.py run_worker and the local_sfm_worker CLI)."""
+        import json
+        import os
+        os.makedirs(path, exist_ok=True)
+        jobs = [{"cluster_id": c.cluster_id,
+                 "image_ids": [int(i) for i in c.image_ids]}
+                for c in self.clusters]
+        with open(os.path.join(path, "clusters.json"), "w") as f:
+            json.dump(jobs, f)
+
     @staticmethod
     def partitions_exist(path: str) -> bool:
         """Ref IsPartialReconsExist (:544-569)."""

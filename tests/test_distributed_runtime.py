@@ -73,3 +73,47 @@ def test_threaded_map_propagates_errors():
 
     with pytest.raises(ValueError):
         dist.run_clusters_threaded([0, 1, 2], fn)
+
+
+def test_run_worker_end_to_end(tmp_path):
+    """Two workers drain the cluster job list via leases; partitions merge
+    back into a full model (worker parity: ref exe/colmap.cc:923-1007)."""
+    import json
+    from dagsfm_tpu.clustering.image_clustering import ClusteringOptions
+    from dagsfm_tpu.parallel.distributed import run_worker
+    from dagsfm_tpu.pipeline.distributed_mapper import (
+        DistributedMapperController, DistributedMapperOptions)
+    from dagsfm_tpu.scene import synthetic
+    from dagsfm_tpu.sfm.incremental_mapper import MapperOptions
+
+    spec = synthetic.SyntheticSceneSpec(num_cameras=14, num_points=400,
+                                        pixel_noise=0.3, seed=21)
+    sc = synthetic.generate(spec)
+    cams, images, graph = synthetic.to_matching_problem(sc, seed=3)
+    opts = DistributedMapperOptions(
+        clustering=ClusteringOptions(num_images_ub=8, image_overlap=4,
+                                     completeness_ratio=0.5),
+        mapper=MapperOptions(init_min_num_inliers=30,
+                             num_ransac_hypotheses=256, seed=11))
+    ctrl = DistributedMapperController(cams, images, graph, opts)
+    ctrl.build_view_graph()
+    ctrl.filter_and_average_rotations()
+    ctrl.cluster_scenes()
+    wd = str(tmp_path / "work")
+    ctrl.export_cluster_jobs(wd)
+    clusters = json.load(open(f"{wd}/clusters.json"))
+    assert len(clusters) >= 2
+
+    done0 = run_worker(cams, images, graph, clusters, wd, host_id=0,
+                       mapper_options=opts.mapper)
+    done1 = run_worker(cams, images, graph, clusters, wd, host_id=1,
+                       mapper_options=opts.mapper)
+    assert set(done0) | set(done1) == set(range(len(clusters)))
+    assert not set(done0) & set(done1)      # leases prevent double work
+
+    # master resumes from the worker partitions and merges
+    ctrl2 = DistributedMapperController(cams, images, graph, opts)
+    merged = ctrl2.run(checkpoint_path=wd)
+    assert merged.num_reg_images() >= 12
+    errs = synthetic.pose_errors(merged, sc)
+    assert errs["ate"] < 0.1, errs
