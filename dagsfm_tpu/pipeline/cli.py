@@ -434,6 +434,365 @@ def cmd_point_filtering(args):
     print(f"filtered {len(drop)} points, kept {rec.num_points3D()}")
 
 
+def _load_color_images(image_path: str, names_wanted=None):
+    """RGB-load images keyed by file name (for color extraction)."""
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise SystemExit("image loading requires PIL") from e
+    out = {}
+    exts = {".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff"}
+    for f in sorted(os.listdir(image_path)):
+        if os.path.splitext(f.lower())[1] not in exts:
+            continue
+        if names_wanted is not None and f not in names_wanted:
+            continue
+        img = Image.open(os.path.join(image_path, f)).convert("RGB")
+        out[f] = np.asarray(img, np.float32) / 255.0
+    return out
+
+
+def _read_model_any(path):
+    from dagsfm_tpu.scene import io as scene_io
+    if os.path.exists(os.path.join(path, "cameras.bin")):
+        return scene_io.read_model_bin(path)
+    return scene_io.read_model_text(path)
+
+
+def cmd_color_extractor(args):
+    """Set 3D point colors from source images (ref color_extractor,
+    exe/colmap.cc:223-240)."""
+    from dagsfm_tpu.scene import io as scene_io
+    rec = _read_model_any(args.input_path)
+    names = {rec.images[i].name for i in rec.images}
+    by_name = _load_color_images(args.image_path, names)
+    images = {i: by_name[im.name] for i, im in rec.images.items()
+              if im.name in by_name}
+    n = rec.extract_colors(images)
+    os.makedirs(args.output_path, exist_ok=True)
+    scene_io.write_model_bin(rec, args.output_path)
+    print(f"colored {n}/{rec.num_points3D()} points")
+
+
+def cmd_database_merger(args):
+    """Merge two databases (ref database_merger, exe/colmap.cc:251-273)."""
+    from dagsfm_tpu.scene.io import ColmapDatabase
+    if os.path.exists(args.merged_database_path):
+        raise SystemExit("ERROR: Merged database file must not exist.")
+    db1 = ColmapDatabase(args.database_path1)
+    db2 = ColmapDatabase(args.database_path2)
+    out = ColmapDatabase(args.merged_database_path)
+    ColmapDatabase.merge(db1, db2, out)
+    n_img = len(out.read_images())
+    n_tvg = out.num_two_view_geometries()
+    db1.close(); db2.close(); out.close()
+    print(f"merged -> {n_img} images, {n_tvg} two-view geometries")
+
+
+def cmd_project_generator(args):
+    """Write a project .ini with a quality preset applied (ref
+    project_generator, exe/colmap.cc:275-303)."""
+    from dagsfm_tpu.utils.options import (ProjectOptions,
+                                          apply_quality_preset,
+                                          save_project)
+    opts = ProjectOptions()
+    apply_quality_preset(opts, args.quality.lower())
+    save_project(opts, args.output_path)
+    print(f"project ({args.quality}) -> {args.output_path}")
+
+
+def cmd_feature_importer(args):
+    """Import features from COLMAP text files `<image_name>.txt`
+    (header `N 128`, rows `x y scale orient d0..d127`; ref
+    feature_importer / FeatureImporter, feature/extraction.cc)."""
+    from dagsfm_tpu.scene import cameras as cm
+    from dagsfm_tpu.scene.io import ColmapDatabase
+    db = ColmapDatabase(args.database_path)
+    existing = {name: iid for iid, (name, _) in db.read_images().items()}
+    n_img = 0
+    for fname in sorted(os.listdir(args.import_path)):
+        if not fname.endswith(".txt"):
+            continue
+        name = fname[:-4]
+        rows = np.loadtxt(os.path.join(args.import_path, fname),
+                          skiprows=1, ndmin=2)
+        if name in existing:
+            iid = existing[name]
+        else:
+            cam = cm.make_simple_camera(len(existing) + n_img + 1,
+                                        args.default_width,
+                                        args.default_height)
+            db.add_camera(cam)
+            iid = db.add_image(name, cam.camera_id)
+        if rows.size:
+            db.add_keypoints(iid, rows[:, :4].astype(np.float32))
+            desc = rows[:, 4:132]
+            norm = np.linalg.norm(desc, axis=1, keepdims=True)
+            desc = np.clip(np.round(desc / np.maximum(norm, 1e-9) * 512),
+                           0, 255).astype(np.uint8)
+            db.add_descriptors(iid, desc)
+        n_img += 1
+    db.close()
+    print(f"imported features for {n_img} images")
+
+
+def cmd_image_deleter(args):
+    """Deregister images by id/name list (ref image_deleter,
+    exe/colmap.cc:462-538)."""
+    from dagsfm_tpu.scene import io as scene_io
+    rec = _read_model_any(args.input_path)
+    n = 0
+    if args.image_ids_path:
+        with open(args.image_ids_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                iid = int(line)
+                if iid in rec.images and rec.images[iid].registered:
+                    rec.deregister_image(iid)
+                    n += 1
+                else:
+                    print(f"WARNING: Skipping image_id={iid}")
+    if args.image_names_path:
+        by_name = {im.name: i for i, im in rec.images.items()}
+        with open(args.image_names_path) as f:
+            for line in f:
+                name = line.strip()
+                if not name:
+                    continue
+                iid = by_name.get(name)
+                if iid is not None and rec.images[iid].registered:
+                    rec.deregister_image(iid)
+                    n += 1
+                else:
+                    print(f"WARNING: Skipping image_name={name}")
+    os.makedirs(args.output_path, exist_ok=True)
+    scene_io.write_model_bin(rec, args.output_path)
+    print(f"deleted {n} images")
+
+
+def cmd_image_filterer(args):
+    """Filter images by intrinsics sanity + observation count (ref
+    image_filterer, exe/colmap.cc:540-587)."""
+    from dagsfm_tpu.scene import io as scene_io
+    rec = _read_model_any(args.input_path)
+    before = rec.num_reg_images()
+    rec.filter_images(args.min_focal_length_ratio,
+                      args.max_focal_length_ratio, args.max_extra_param)
+    drop = [i for i in rec.reg_image_ids
+            if rec.images[i].num_points3D() < args.min_num_observations]
+    for iid in drop:
+        rec.deregister_image(iid)
+    os.makedirs(args.output_path, exist_ok=True)
+    scene_io.write_model_bin(rec, args.output_path)
+    print(f"Filtered {before - rec.num_reg_images()} images "
+          f"from a total of {before} images")
+
+
+def cmd_image_rectifier(args):
+    """Stereo-rectify image pairs from a list file `name1 name2` per line
+    (ref image_rectifier, exe/colmap.cc:589-622)."""
+    from dagsfm_tpu.ops import rotations as rops
+    from dagsfm_tpu.scene.undistortion import (
+        rectify_and_undistort_stereo_pair)
+    rec = _read_model_any(args.input_path)
+    by_name = {im.name: i for i, im in rec.images.items()}
+    imgs = _load_color_images(args.image_path)
+    os.makedirs(args.output_path, exist_ok=True)
+    n = 0
+    with open(args.stereo_pairs_list) as f:
+        for line in f:
+            names = line.split()
+            if len(names) != 2:
+                continue
+            i1, i2 = by_name[names[0]], by_name[names[1]]
+            im1, im2 = rec.images[i1], rec.images[i2]
+            R1 = np.asarray(rops.quat_to_rotmat_np(im1.qvec))
+            R2 = np.asarray(rops.quat_to_rotmat_np(im2.qvec))
+            # relative pose 2-from-1
+            R12 = R2 @ R1.T
+            t12 = im2.tvec - R12 @ im1.tvec
+            q12 = np.asarray(rops.rotmat_to_quat_np(R12))
+            g1 = np.mean(imgs[names[0]], axis=2)
+            g2 = np.mean(imgs[names[1]], axis=2)
+            r1, r2, Q = rectify_and_undistort_stereo_pair(
+                g1, g2, rec.cameras[im1.camera_id],
+                rec.cameras[im2.camera_id], q12, t12)
+            stem = f"{os.path.splitext(names[0])[0]}-" \
+                   f"{os.path.splitext(names[1])[0]}"
+            np.savez(os.path.join(args.output_path, stem + ".npz"),
+                     left=r1, right=r2, Q=Q)
+            n += 1
+    print(f"rectified {n} stereo pairs -> {args.output_path}")
+
+
+def cmd_image_registrator(args):
+    """Register new database images into an existing model WITHOUT
+    triangulating new points or BA (ref image_registrator,
+    exe/colmap.cc:624-713)."""
+    from dagsfm_tpu.pipeline.feature_pipeline import FeaturePipeline
+    from dagsfm_tpu.scene import io as scene_io
+    from dagsfm_tpu.sfm.incremental_mapper import (IncrementalMapper,
+                                                   MapperOptions)
+    rec = _read_model_any(args.input_path)
+    fp = FeaturePipeline({}, {}, database_path=args.database_path)
+    cams, images, graph = fp.load_from_database(args.database_path)
+    mapper = IncrementalMapper(cams, images, graph, MapperOptions())
+    name_to_db = {im.name: iid for iid, im in images.items()}
+    # seed mapper with the existing model (poses + points)
+    for iid in rec.reg_image_ids:
+        im = rec.images[iid]
+        did = name_to_db.get(im.name)
+        if did is None:
+            continue
+        mapper.rec.images[did].qvec = im.qvec
+        mapper.rec.images[did].tvec = im.tvec
+        mapper.rec.register_image(did)
+    for pid, pt in rec.points3D.items():
+        track = []
+        for (iid, kp) in pt.track:
+            did = name_to_db.get(rec.images[iid].name)
+            if did is not None and mapper.rec.images[did].registered:
+                track.append((did, kp))
+        if len(track) >= 2:
+            new_pid = mapper.rec.add_point3D(pt.xyz, track,
+                                             color=pt.color,
+                                             error=pt.error)
+            for (did, kp) in track:
+                mapper.rec.images[did].point3D_ids[kp] = new_pid
+    n = 0
+    for did in sorted(mapper.rec.images):
+        if mapper.rec.images[did].registered:
+            continue
+        if mapper.register_next_image(did):
+            n += 1
+    os.makedirs(args.output_path, exist_ok=True)
+    scene_io.write_model_bin(mapper.rec, args.output_path)
+    print(f"registered {n} new images "
+          f"({mapper.rec.num_reg_images()} total)")
+
+
+def cmd_model_orientation_aligner(args):
+    """Align the model's coordinate frame to gravity / Manhattan axes
+    (ref model_orientation_aligner, exe/colmap.cc:1315-1381)."""
+    from dagsfm_tpu.estimation import coordinate_frame as cf
+    from dagsfm_tpu.scene import io as scene_io
+    rec = _read_model_any(args.input_path)
+    method = args.method.lower()
+    if method == "image-orientation":
+        gravity = cf.estimate_gravity_vector_from_image_orientation(rec)
+        tform = cf.rotation_from_unit_vectors(gravity, [0, 1, 0])
+    elif method == "manhattan-world":
+        names = {rec.images[i].name for i in rec.images}
+        by_name = _load_color_images(args.image_path, names)
+        images = {i: np.mean(by_name[im.name], axis=2)
+                  for i, im in rec.images.items() if im.name in by_name}
+        opts = cf.ManhattanOptions(max_image_size=args.max_image_size)
+        frame = cf.estimate_manhattan_world_frame(rec, images, opts)
+        tform = cf.align_to_manhattan_world(rec, frame)
+    else:
+        raise SystemExit("ERROR: Invalid `method` - supported values are "
+                         "'MANHATTAN-WORLD' or 'IMAGE-ORIENTATION'.")
+    rec.transform(1.0, np.asarray(tform, float), np.zeros(3))
+    os.makedirs(args.output_path, exist_ok=True)
+    scene_io.write_model_bin(rec, args.output_path)
+    print(f"aligned ({method}) -> {args.output_path}")
+
+
+def cmd_rig_bundle_adjuster(args):
+    """Rig-constrained global BA (ref rig_bundle_adjuster,
+    exe/colmap.cc:1713-1758)."""
+    from dagsfm_tpu.scene import camera_rig as crig
+    from dagsfm_tpu.scene import io as scene_io
+    from dagsfm_tpu.sfm import rig_bundle_adjustment as rba
+    rec = _read_model_any(args.input_path)
+    rigs = crig.read_rig_config(args.rig_config_path, rec)
+    for k, rig in enumerate(rigs):
+        print(f"Camera Rig {k + 1}: {rig.num_cameras} cameras, "
+              f"{rig.num_snapshots} snapshots")
+    prob, meta = crig.make_rig_ba_problem(rec, rigs)
+    out = rba.solve(prob, rba.RigBAOptions(
+        max_iterations=args.max_num_iterations,
+        refine_relative_poses=bool(args.refine_relative_poses)))
+    crig.apply_rig_ba_result(rec, rigs, out, meta)
+    os.makedirs(args.output_path, exist_ok=True)
+    scene_io.write_model_bin(rec, args.output_path)
+    print(f"rig BA cost {float(out.initial_cost):.2f} -> "
+          f"{float(out.final_cost):.2f}")
+
+
+def cmd_spatial_matcher(args):
+    """Match images by location priors (ref spatial_matcher; GPS/prior
+    kNN pair generation, feature/matching.h:466)."""
+    from dagsfm_tpu.features.retrieval import spatial_pairs
+    from dagsfm_tpu.pipeline.feature_pipeline import (
+        load_features_from_database, run_matcher_on_database)
+    from dagsfm_tpu.utils import gps
+    *_, priors = load_features_from_database(args.database_path)
+    if not priors:
+        raise SystemExit("no location priors in database")
+    ids = sorted(priors)
+    loc = np.stack([priors[i] for i in ids])
+    if args.is_gps:
+        loc = gps.ell_to_enu(loc)
+    pairs = [(i, j) for (i, j, _) in spatial_pairs(
+        ids, loc, max_num_neighbors=args.max_num_neighbors,
+        max_distance=args.max_distance)]
+    n = run_matcher_on_database(args.database_path, pairs)
+    print(f"spatial matching: {n}/{len(pairs)} pairs verified")
+
+
+def cmd_transitive_matcher(args):
+    """Match transitive-closure pairs of already-matched images (ref
+    transitive_matcher, feature/matching.h:486)."""
+    from dagsfm_tpu.features.retrieval import transitive_pairs
+    from dagsfm_tpu.pipeline.feature_pipeline import (
+        load_features_from_database, run_matcher_on_database)
+    *_, matched, priors = load_features_from_database(args.database_path)
+    total = 0
+    for _ in range(args.num_iterations):
+        pairs = transitive_pairs(matched, num_iterations=1,
+                                 batch_size=args.batch_size)
+        pairs = [(i, j) for (i, j, *_r) in pairs] \
+            if pairs and len(pairs[0]) > 2 else pairs
+        if not pairs:
+            break
+        n = run_matcher_on_database(args.database_path, pairs)
+        total += n
+        matched = matched + [(i, j) for (i, j) in pairs]
+    print(f"transitive matching: {total} new pairs verified")
+
+
+def cmd_vocab_tree_retriever(args):
+    """Rank database images against query images via the vocab-tree
+    index (ref vocab_tree_retriever, exe/colmap.cc:1939-2037)."""
+    from dagsfm_tpu.features import visual_index as vi
+    from dagsfm_tpu.scene.io import ColmapDatabase
+    data = np.load(args.vocab_tree_path)
+    levels = []
+    k = 0
+    while f"level{k}" in data:
+        levels.append(data[f"level{k}"])
+        k += 1
+    tree = vi.VocabTree(levels=tuple(levels), proj=data["proj"],
+                        thresholds=data["thresholds"])
+    index = vi.VisualIndex(tree)
+    db = ColmapDatabase(args.database_path)
+    imgs = db.read_images()
+    for iid in sorted(imgs):
+        d = db.read_descriptors(iid).astype(np.float32) / 512.0
+        kp = db.read_keypoints(iid)
+        if len(d):
+            index.add(iid, d, kp[:, :2])
+    db.close()
+    for qid in sorted(imgs):
+        ranked = index.query(qid, num_images=args.num_images)
+        top = ", ".join(f"{imgs[i][0]}({s:.3f})" for i, s in
+                        ranked[: args.num_images])
+        print(f"{imgs[qid][0]}: {top}")
+
+
 def cmd_synthetic_scene(args):
     from dagsfm_tpu.scene import io as scene_io
     from dagsfm_tpu.scene import synthetic
@@ -562,6 +921,81 @@ def build_parser() -> argparse.ArgumentParser:
         ("--output_path", dict(required=True)),
         ("--min_track_len", dict(type=int, default=2)),
         ("--max_reproj_error", dict(type=float, default=4.0)),
+    ])
+    add("color_extractor", cmd_color_extractor, [
+        ("--image_path", dict(required=True)),
+        ("--input_path", dict(required=True)),
+        ("--output_path", dict(required=True)),
+    ])
+    add("database_merger", cmd_database_merger, [
+        ("--database_path1", dict(required=True)),
+        ("--database_path2", dict(required=True)),
+        ("--merged_database_path", dict(required=True)),
+    ])
+    add("project_generator", cmd_project_generator, [
+        ("--output_path", dict(required=True)),
+        ("--quality", dict(default="high")),
+    ])
+    add("feature_importer", cmd_feature_importer, [
+        ("--database_path", dict(required=True)),
+        ("--import_path", dict(required=True)),
+        ("--default_width", dict(type=int, default=1024)),
+        ("--default_height", dict(type=int, default=768)),
+    ])
+    add("image_deleter", cmd_image_deleter, [
+        ("--input_path", dict(required=True)),
+        ("--output_path", dict(required=True)),
+        ("--image_ids_path", dict(default="")),
+        ("--image_names_path", dict(default="")),
+    ])
+    add("image_filterer", cmd_image_filterer, [
+        ("--input_path", dict(required=True)),
+        ("--output_path", dict(required=True)),
+        ("--min_focal_length_ratio", dict(type=float, default=0.1)),
+        ("--max_focal_length_ratio", dict(type=float, default=10.0)),
+        ("--max_extra_param", dict(type=float, default=100.0)),
+        ("--min_num_observations", dict(type=int, default=10)),
+    ])
+    add("image_rectifier", cmd_image_rectifier, [
+        ("--image_path", dict(required=True)),
+        ("--input_path", dict(required=True)),
+        ("--output_path", dict(required=True)),
+        ("--stereo_pairs_list", dict(required=True)),
+    ])
+    add("image_registrator", cmd_image_registrator, [
+        ("--database_path", dict(required=True)),
+        ("--input_path", dict(required=True)),
+        ("--output_path", dict(required=True)),
+    ])
+    add("model_orientation_aligner", cmd_model_orientation_aligner, [
+        ("--image_path", dict(default="")),
+        ("--input_path", dict(required=True)),
+        ("--output_path", dict(required=True)),
+        ("--method", dict(default="MANHATTAN-WORLD")),
+        ("--max_image_size", dict(type=int, default=1024)),
+    ])
+    add("rig_bundle_adjuster", cmd_rig_bundle_adjuster, [
+        ("--input_path", dict(required=True)),
+        ("--output_path", dict(required=True)),
+        ("--rig_config_path", dict(required=True)),
+        ("--max_num_iterations", dict(type=int, default=50)),
+        ("--refine_relative_poses", dict(type=int, default=1)),
+    ])
+    add("spatial_matcher", cmd_spatial_matcher, [
+        ("--database_path", dict(required=True)),
+        ("--max_num_neighbors", dict(type=int, default=50)),
+        ("--max_distance", dict(type=float, default=100.0)),
+        ("--is_gps", dict(type=int, default=0)),
+    ])
+    add("transitive_matcher", cmd_transitive_matcher, [
+        ("--database_path", dict(required=True)),
+        ("--batch_size", dict(type=int, default=1000)),
+        ("--num_iterations", dict(type=int, default=3)),
+    ])
+    add("vocab_tree_retriever", cmd_vocab_tree_retriever, [
+        ("--database_path", dict(required=True)),
+        ("--vocab_tree_path", dict(required=True)),
+        ("--num_images", dict(type=int, default=10)),
     ])
     return p
 

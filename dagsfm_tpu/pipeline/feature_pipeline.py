@@ -222,3 +222,82 @@ class FeaturePipeline:
             mm = np.stack([remap_i[inl_m[:, 0]], remap_j[inl_m[:, 1]]], 1)
             graph.add_matches(i, j, mm.astype(np.uint32))
         return cam_by_id, images, graph
+
+
+# ---------------------------------------------------------------------------
+# Database-backed matching (spatial / transitive / retrieval re-runs).
+# The ref's SpatialFeatureMatcher / TransitiveFeatureMatcher operate on an
+# existing database (features already extracted); these helpers do the same
+# against our ColmapDatabase, with the pair list supplied by the caller.
+# ---------------------------------------------------------------------------
+
+
+def load_features_from_database(path: str):
+    """Load (cams_by_image, keypoints, descriptors, masks, names,
+    matched_pairs, priors) from a database.  Descriptors are dequantized
+    to L2-normalized float32 and zero-padded to a common K (multiple of
+    32) so they can be batch-matched on device."""
+    with scene_io.ColmapDatabase(path) as db:
+        cams = db.read_cameras()
+        imgs = db.read_images()
+        priors = db.read_image_priors()
+        kps, descs = {}, {}
+        for i in imgs:
+            kps[i] = db.read_keypoints(i)[:, :2].astype(np.float64)
+            d = db.read_descriptors(i).astype(np.float32) / 512.0
+            n = np.linalg.norm(d, axis=1, keepdims=True)
+            descs[i] = d / np.maximum(n, 1e-9)
+        matched = [(i1, i2) for (i1, i2, m, *_)
+                   in db.read_all_two_view_geometries() if len(m)]
+    kmax = max([len(d) for d in descs.values()] + [32])
+    kmax = int(np.ceil(kmax / 32) * 32)
+    masks = {}
+    for i, d in descs.items():
+        k = len(d)
+        pad = np.zeros((kmax, 128), np.float32)
+        pad[:k] = d
+        descs[i] = pad
+        m = np.zeros(kmax, bool)
+        m[:k] = True
+        masks[i] = m
+    cams_by_image = {i: cams[cid] for i, (name, cid) in imgs.items()}
+    names = {i: name for i, (name, cid) in imgs.items()}
+    return cams_by_image, kps, descs, masks, names, matched, priors
+
+
+def run_matcher_on_database(database_path: str, pairs: list,
+                            options: FeaturePipelineOptions | None = None
+                            ) -> int:
+    """Match + verify the given image-id pairs against an existing
+    database and append the verified two-view geometries.  Returns the
+    number of pairs that passed verification."""
+    opts = options or FeaturePipelineOptions()
+    (cams_by_image, kps, descs, masks, names, matched,
+     priors) = load_features_from_database(database_path)
+    pairs = [(i, j) for (i, j) in pairs
+             if i in descs and j in descs]
+    if not pairs:
+        return 0
+    raw = fm.match_pairs(descs, masks, pairs, opts.matching)
+    pair_data = []
+    for (i, j), m in raw.items():
+        if len(m) < opts.min_num_inliers:
+            continue
+        Ki = cams_by_image[i].calibration_matrix()
+        Kj = cams_by_image[j].calibration_matrix()
+        x1 = (kps[i][m[:, 0]] - Ki[:2, 2]) / np.array([Ki[0, 0], Ki[1, 1]])
+        x2 = (kps[j][m[:, 1]] - Kj[:2, 2]) / np.array([Kj[0, 0], Kj[1, 1]])
+        thr = (opts.max_error_px / Ki[0, 0]) ** 2
+        pair_data.append(((i, j), x1, x2, thr))
+    results = verify_pairs(pair_data, num_hyps=opts.num_ransac_hypotheses,
+                           seed=opts.seed)
+    n = 0
+    with scene_io.ColmapDatabase(database_path) as db:
+        for (i, j), (R, t, ninl, nf, inl, valid) in results.items():
+            if not valid or ninl < opts.min_num_inliers:
+                continue
+            m = raw[(i, j)]
+            db.add_matches(i, j, m)
+            db.add_two_view_geometry(i, j, m[inl], config=2)
+            n += 1
+    return n

@@ -348,16 +348,32 @@ class ColmapDatabase:
         return out
 
     # -------------------------------------------------------------- images
-    def add_image(self, name: str, camera_id: int, image_id=None) -> int:
+    def add_image(self, name: str, camera_id: int, image_id=None,
+                  prior_qvec=None, prior_tvec=None) -> int:
+        pq = ([None] * 4 if prior_qvec is None
+              else [float(x) for x in prior_qvec])
+        pt = ([None] * 3 if prior_tvec is None
+              else [float(x) for x in prior_tvec])
         cur = self.conn.execute(
-            "INSERT OR REPLACE INTO images "
-            "(image_id, name, camera_id) VALUES (?, ?, ?)",
-            (image_id, name, camera_id))
+            "INSERT OR REPLACE INTO images VALUES (?,?,?,?,?,?,?,?,?,?)",
+            (image_id, name, camera_id, *pq, *pt))
         return cur.lastrowid
 
     def read_images(self) -> dict:
         return {row[0]: (row[1], row[2]) for row in self.conn.execute(
             "SELECT image_id, name, camera_id FROM images")}
+
+    def read_image_priors(self) -> dict:
+        """image_id -> prior_tvec (3,) for images with location priors
+        (used by the spatial matcher; ref SpatialFeatureMatcher reads
+        image.TvecPrior())."""
+        out = {}
+        for iid, tx, ty, tz in self.conn.execute(
+                "SELECT image_id, prior_tx, prior_ty, prior_tz "
+                "FROM images"):
+            if tx is not None and ty is not None and tz is not None:
+                out[iid] = np.array([tx, ty, tz], float)
+        return out
 
     # ----------------------------------------------------------- keypoints
     def add_keypoints(self, image_id: int, xys: np.ndarray):
@@ -449,3 +465,62 @@ class ColmapDatabase:
     def num_two_view_geometries(self) -> int:
         return self.conn.execute(
             "SELECT COUNT(*) FROM two_view_geometries").fetchone()[0]
+
+    @staticmethod
+    def merge(db1: "ColmapDatabase", db2: "ColmapDatabase",
+              out: "ColmapDatabase") -> dict:
+        """Merge two databases into ``out`` (ref Database::Merge,
+        base/database.cc): db1 is copied verbatim; db2's cameras/images
+        get fresh ids (images with a name already present in db1 keep
+        db1's id and are not duplicated); pair tables are renumbered.
+        Returns the db2->out image-id map."""
+        cam_map2: dict = {}
+        img_map2: dict = {}
+        for cid, cam in db1.read_cameras().items():
+            out.add_camera(cam)
+        name_to_out = {}
+        for iid, (name, cid) in db1.read_images().items():
+            out.add_image(name, cid, image_id=iid)
+            name_to_out[name] = iid
+            kp = db1.read_keypoints(iid)
+            if len(kp):
+                out.add_keypoints(iid, kp)
+            de = db1.read_descriptors(iid)
+            if len(de):
+                out.add_descriptors(iid, de)
+        next_cam = max(list(db1.read_cameras()) + [0]) + 1
+        for cid, cam in db2.read_cameras().items():
+            cam_map2[cid] = next_cam
+            out.add_camera(cam._replace(camera_id=next_cam))
+            next_cam += 1
+        for iid, (name, cid) in db2.read_images().items():
+            if name in name_to_out:
+                img_map2[iid] = name_to_out[name]
+                continue
+            new_id = out.add_image(name, cam_map2[cid])
+            img_map2[iid] = new_id
+            kp = db2.read_keypoints(iid)
+            if len(kp):
+                out.add_keypoints(new_id, kp)
+            de = db2.read_descriptors(iid)
+            if len(de):
+                out.add_descriptors(new_id, de)
+        for db, remap in ((db1, None), (db2, img_map2)):
+            for pid, r, c, blob in db.conn.execute(
+                    "SELECT * FROM matches"):
+                i1, i2 = image_ids_from_pair_id(pid)
+                if remap:
+                    i1, i2 = remap[i1], remap[i2]
+                m = (np.frombuffer(blob, np.uint32).reshape(r, c)
+                     if blob and r else np.zeros((0, 2), np.uint32))
+                out.add_matches(i1, i2, m)
+            for i1, i2, m, config, F, E, H in \
+                    db.read_all_two_view_geometries():
+                if remap:
+                    i1, i2 = remap[i1], remap[i2]
+                    if i1 > i2:
+                        i1, i2 = i2, i1
+                        m = m[:, ::-1]
+                out.add_two_view_geometry(i1, i2, m, config, F, E, H)
+        out.conn.commit()
+        return img_map2

@@ -155,6 +155,70 @@ class Reconstruction:
                 self.delete_observation(int(pid), image_id, p2d_idx)
         img.registered = False
 
+    def filter_images(self, min_focal_length_ratio: float = 0.1,
+                      max_focal_length_ratio: float = 10.0,
+                      max_extra_param: float = 100.0) -> list:
+        """Deregister images whose camera has bogus intrinsics (ref
+        Reconstruction::FilterImages, base/reconstruction.cc: focal/max-dim
+        ratio out of bounds, or any distortion param > max_extra_param).
+        Returns the deregistered image ids."""
+        bad_cams = set()
+        for cid, cam in self.cameras.items():
+            f = cam.focal()
+            f = float(np.mean(f)) if np.ndim(f) else float(f)
+            ratio = f / max(cam.width, cam.height)
+            n_intr = 3 if bool(np.asarray(
+                cm._is_single_focal(cam.model_id))) else 4
+            extra = np.abs(np.asarray(cam.params[n_intr:], float))
+            if (ratio < min_focal_length_ratio
+                    or ratio > max_focal_length_ratio
+                    or (extra.size and extra.max() > max_extra_param)):
+                bad_cams.add(cid)
+        filtered = [i for i in self.reg_image_ids
+                    if self.images[i].camera_id in bad_cams]
+        for iid in filtered:
+            self.deregister_image(iid)
+        return filtered
+
+    def extract_colors(self, images: dict) -> int:
+        """Set 3D point colors by averaging the bilinear image sample over
+        all observing images (ref Reconstruction::ExtractColorsForAllImages,
+        base/reconstruction.h:310-324). ``images`` maps image_id ->
+        (H, W) grayscale or (H, W, 3) RGB float array in [0, 1].
+        Returns the number of colored points."""
+        acc = {pid: np.zeros(3) for pid in self.points3D}
+        cnt = {pid: 0 for pid in self.points3D}
+        for iid, img in images.items():
+            if iid not in self.images:
+                continue
+            arr = np.asarray(img, np.float64)
+            if arr.ndim == 2:
+                arr = np.repeat(arr[:, :, None], 3, axis=2)
+            h, w = arr.shape[:2]
+            im = self.images[iid]
+            for p2d_idx, pid in enumerate(im.point3D_ids):
+                if pid < 0 or int(pid) not in acc:
+                    continue
+                x, y = im.xys[p2d_idx]
+                if not (0 <= x <= w - 1 and 0 <= y <= h - 1):
+                    continue
+                x0, y0 = int(np.floor(min(x, w - 2))), \
+                    int(np.floor(min(y, h - 2)))
+                fx, fy = x - x0, y - y0
+                c = ((1 - fx) * (1 - fy) * arr[y0, x0]
+                     + fx * (1 - fy) * arr[y0, x0 + 1]
+                     + (1 - fx) * fy * arr[y0 + 1, x0]
+                     + fx * fy * arr[y0 + 1, x0 + 1])
+                acc[int(pid)] += c
+                cnt[int(pid)] += 1
+        n = 0
+        for pid, k in cnt.items():
+            if k > 0:
+                self.points3D[pid].color = np.clip(
+                    acc[pid] / k * 255.0, 0, 255).astype(np.uint8)
+                n += 1
+        return n
+
     @property
     def reg_image_ids(self) -> list:
         return [i for i, im in self.images.items() if im.registered]

@@ -114,3 +114,88 @@ def undistort_reconstruction(rec: Reconstruction) -> Reconstruction:
             + Kn[:2, 2]
     out.cameras = new_cams
     return out
+
+
+# ------------------------------------------------------ stereo rectification
+
+
+def rectify_stereo_cameras(camera1: cm.Camera, camera2: cm.Camera,
+                           qvec: np.ndarray, tvec: np.ndarray):
+    """Planar rectification of a calibrated stereo pair.
+
+    Ref RectifyStereoCameras (base/undistortion.cc:882-943): split the
+    relative rotation evenly between the two views, rotate so the
+    baseline coincides with the x-axis, and build homographies H1/H2 plus
+    the disparity-to-depth matrix Q.  Cameras must be (SIMPLE_)PINHOLE.
+    Returns (H1, H2, Q).
+    """
+    from dagsfm_tpu.ops import rotations as rops
+
+    assert camera1.model_id in (cm.SIMPLE_PINHOLE, cm.PINHOLE)
+    assert camera2.model_id in (cm.SIMPLE_PINHOLE, cm.PINHOLE)
+    q = np.asarray(qvec, float)
+    aa = np.asarray(rops.quat_to_angleaxis(jnp.asarray(q)))
+    R2 = np.asarray(rops.angleaxis_to_rotmat(jnp.asarray(-0.5 * aa)))
+    R1 = R2.T
+    t = R2 @ np.asarray(tvec, float)
+    x_unit = np.array([1.0, 0.0, 0.0])
+    if t @ x_unit < 0:
+        x_unit = -x_unit
+    axis = np.cross(t, x_unit)
+    if np.linalg.norm(axis) < 1e-15:
+        R_x = np.eye(3)
+    else:
+        angle = np.arccos(abs(t @ x_unit) / np.linalg.norm(t))
+        axis = axis / np.linalg.norm(axis)
+        R_x = np.asarray(rops.angleaxis_to_rotmat(jnp.asarray(axis * angle)))
+    R1 = R_x @ R1
+    R2 = R_x @ R2
+    t = R_x @ t
+    K1 = np.asarray(camera1.calibration_matrix())
+    K2 = np.asarray(camera2.calibration_matrix())
+    K = np.eye(3)
+    K[0, 0] = K[1, 1] = min((K1[0, 0] + K1[1, 1]) / 2,
+                            (K2[0, 0] + K2[1, 1]) / 2)
+    K[0, 2] = K1[0, 2]
+    K[1, 2] = (K1[1, 2] + K2[1, 2]) / 2
+    H1 = K @ R1 @ np.linalg.inv(K1)
+    H2 = K @ R2 @ np.linalg.inv(K2)
+    Q = np.eye(4)
+    Q[3, 0] = -K[1, 2]
+    Q[3, 1] = -K[0, 2]
+    Q[3, 2] = K[0, 0]
+    Q[2, 3] = -1.0 / t[0]
+    Q[3, 3] = 0.0
+    return H1, H2, Q
+
+
+def warp_image_with_homography(img: np.ndarray, H: np.ndarray,
+                               out_shape=None) -> np.ndarray:
+    """Inverse-warp an image by homography H (dst <- H @ src pixel map);
+    one batched bilinear gather on device (ref WarpImageWithHomography,
+    base/warp.cc)."""
+    Hh, Ww = out_shape or img.shape
+    Hi = np.linalg.inv(np.asarray(H, float))
+    ys, xs = np.mgrid[0:Hh, 0:Ww].astype(np.float64)
+    pts = np.stack([xs.ravel(), ys.ravel(), np.ones(xs.size)])
+    src = Hi @ pts
+    sx = (src[0] / src[2]).reshape(Hh, Ww)
+    sy = (src[1] / src[2]).reshape(Hh, Ww)
+    out = _warp_bilinear(jnp.asarray(img, jnp.float32),
+                         jnp.asarray(sy), jnp.asarray(sx))
+    return np.asarray(out)
+
+
+def rectify_and_undistort_stereo_pair(img1, img2, camera1, camera2,
+                                      qvec, tvec):
+    """Full stereo rectification of an image pair (ref
+    RectifyAndUndistortStereoImages, base/undistortion.cc:944-975):
+    undistort both cameras to pinhole, then apply the rectifying
+    homographies.  Returns (rect1, rect2, Q)."""
+    uc1 = undistorted_camera(camera1)
+    uc2 = undistorted_camera(camera2)
+    u1 = undistort_image(np.asarray(img1, np.float32), camera1, uc1)
+    u2 = undistort_image(np.asarray(img2, np.float32), camera2, uc2)
+    H1, H2, Q = rectify_stereo_cameras(uc1, uc2, qvec, tvec)
+    return (warp_image_with_homography(u1, H1),
+            warp_image_with_homography(u2, H2), Q)

@@ -400,11 +400,18 @@ def _plain_cost(prob: BAProblem, opts: BAOptions) -> jax.Array:
     q = prob.image_qvec[prob.obs_image]
     t = prob.image_tvec[prob.obs_image]
     cidx = prob.image_camidx[prob.obs_image]
-    mid = prob.cam_model_id[cidx]
-    par = prob.cam_params[cidx]
     X = prob.points[prob.obs_point]
     Xc = rops.quat_rotate(q, X) + t
-    proj = jax.vmap(cm.img_from_cam)(mid, par, Xc)
+    if opts.pinhole_only:
+        # skip the 11-way camera-model switch (same cut as the
+        # jacobian fast path) — big trace/HLO reduction
+        fpar = _pinhole_fparams(prob)[cidx]
+        z = jnp.where(jnp.abs(Xc[:, 2]) < 1e-12, 1e-12, Xc[:, 2])
+        proj = Xc[:, :2] / z[:, None] * fpar[:, :2] + fpar[:, 2:]
+    else:
+        mid = prob.cam_model_id[cidx]
+        par = prob.cam_params[cidx]
+        proj = jax.vmap(cm.img_from_cam)(mid, par, Xc)
     r = proj - prob.obs_xy
     r = jnp.where((Xc[:, 2] > 1e-6)[:, None], r, 1e3)
     r2 = jnp.sum(r * r, axis=-1)

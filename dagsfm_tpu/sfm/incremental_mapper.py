@@ -441,7 +441,8 @@ class IncrementalMapper:
         prob = ba.make_problem(arrays, max_track_len=self.opts.max_track_len,
                                const_image=const)
         opts = ba.BAOptions(max_iterations=max_iterations, loss="cauchy",
-                            loss_scale=1.0)
+                            loss_scale=1.0,
+                            pinhole_only=ba.all_pinhole(arrays))
         prob, stats = _jit_ba_solve(prob, opts)
         # write back
         q = np.asarray(prob.image_qvec)
