@@ -73,7 +73,8 @@ class BAOptions(NamedTuple):
     #  jacobians skip the 11-way camera-model switch (big trace/HLO cut)
     pinhole_only: bool = False
     #  schur_assembly: 'scan' = T*T sequential scatter steps (low memory),
-    #  'flat' = one (P*T*T) einsum + segment_sum (fast on TPU), 'auto'
+    #  'flat' = one (P*T*T) einsum + segment_sum, 'matmul' = scatter-free
+    #  (gathers + one-hot einsums on the MXU; fastest on TPU), 'auto'
     schur_assembly: str = "auto"
 
 
@@ -126,6 +127,39 @@ def make_problem(arrays, max_track_len: int = 16,
             trk_obs[p, k] = n
             trk_mask[p, k] = True
             fill[p] = k + 1
+    # observations that did not fit a track slot are dropped entirely so
+    # all normal-equation blocks see the same observation set (the ref
+    # caps track length the same way: max_track_length,
+    # distributed_mapper_controller.h:52-56)
+    kept = np.zeros(N, bool)
+    kept[trk_obs[trk_mask]] = True
+    om = om & kept
+
+    # compact to the live observations (SceneArrays rows cover every
+    # keypoint slot; only ~1/10 are typically triangulated) — every
+    # per-observation kernel then does real work only, padded to a
+    # power-of-2 bucket for shape reuse across LM solves
+    live = np.nonzero(om)[0]
+    n_bucket = 256
+    while n_bucket < max(len(live), 1):
+        n_bucket *= 2
+    n_bucket = min(n_bucket, N)
+    if n_bucket < N:
+        perm = np.zeros(N, np.int64)
+        perm[live] = np.arange(len(live))
+        sel = np.zeros(n_bucket, np.int64)
+        sel[: len(live)] = live
+        obs_image_c = np.asarray(arrays.obs_image)[sel]
+        obs_point_c = np.asarray(arrays.obs_point)[sel]
+        obs_xy_c = np.asarray(arrays.obs_xy)[sel]
+        om_c = np.zeros(n_bucket, bool)
+        om_c[: len(live)] = True
+        trk_obs = np.where(trk_mask, perm[trk_obs], 0).astype(np.int32)
+    else:
+        obs_image_c = np.asarray(arrays.obs_image)
+        obs_point_c = np.asarray(arrays.obs_point)
+        obs_xy_c = np.asarray(arrays.obs_xy)
+        om_c = om
 
     I = arrays.image_qvec.shape[0]
     if const_image is None:
@@ -140,10 +174,10 @@ def make_problem(arrays, max_track_len: int = 16,
         jnp.asarray(arrays.cam_model_id),
         jnp.asarray(arrays.cam_params, dtype),
         jnp.asarray(arrays.points_xyz, dtype),
-        jnp.asarray(arrays.obs_image),
-        jnp.asarray(arrays.obs_point),
-        jnp.asarray(arrays.obs_xy, dtype),
-        jnp.asarray(arrays.obs_mask),
+        jnp.asarray(obs_image_c),
+        jnp.asarray(obs_point_c),
+        jnp.asarray(obs_xy_c, dtype),
+        jnp.asarray(om_c),
         jnp.asarray(trk_obs),
         jnp.asarray(trk_mask),
         jnp.asarray(const_image),
@@ -279,6 +313,108 @@ def _robust_cost(r2: jax.Array, loss: str, scale: float):
 # Schur-complement normal equations
 # ---------------------------------------------------------------------------
 
+
+def _inv3(M: jax.Array) -> jax.Array:
+    """Batched closed-form 3x3 inverse (adjugate/det).
+
+    jnp.linalg.inv lowers to per-matrix LU on TPU (slow for (P,3,3)
+    batches); the adjugate form is pure VPU elementwise math."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    J = a * e - b * d
+    det = a * A + b * D + c * G
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    adj = jnp.stack([jnp.stack([A, B, C], -1),
+                     jnp.stack([D, E, F], -1),
+                     jnp.stack([G, H, J], -1)], -2)
+    return adj / det[..., None, None]
+
+def _build_and_solve_matmul(prob: BAProblem, r_w, Jc_w, Jp_w, lam,
+                            opts: BAOptions):
+    """Scatter-free Schur step: every segment reduction is a gather or a
+    one-hot einsum, so the whole assembly runs on the MXU.
+
+    TPU scatters serialize; the reference's CPU code (Ceres CHOLMOD,
+    optim/bundle_adjustment.cc:273-284) has no analog of this constraint.
+    Point-indexed sums (V, gp) go through the track gather
+    (trk_obs/trk_mask); camera-indexed sums (U, gc, b, S) go through
+    one-hot matmuls over the (small) camera axis.
+
+    Requires every active observation to appear in a track slot —
+    make_problem masks overflow observations to guarantee it.
+    """
+    I = prob.image_qvec.shape[0]
+    P = prob.points.shape[0]
+    dtype = r_w.dtype
+    eyeC = jnp.eye(6, dtype=dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    E = jax.nn.one_hot(prob.obs_image, I, dtype=dtype)      # (N, I)
+    # U (I,6,6), gc (I,6) via one-hot matmul
+    JcJc = jnp.einsum("nri,nrj->nij", Jc_w, Jc_w)
+    U = jnp.einsum("ni,nab->iab", E, JcJc)
+    gcn = jnp.einsum("nra,nr->na", Jc_w, r_w)
+    # V (P,3,3), gp (P,3) via track gathers
+    tmask = prob.trk_mask.astype(dtype)[..., None, None]
+    Jp_slot = Jp_w[prob.trk_obs] * tmask                    # (P,T,2,3)
+    r_slot = r_w[prob.trk_obs] * tmask[..., 0]
+    V = jnp.einsum("ptri,ptrj->pij", Jp_slot, Jp_slot)
+    gp = -jnp.einsum("ptri,ptr->pi", Jp_slot, r_slot)
+
+    U = U + lam * eyeC[None] * jnp.maximum(
+        jnp.diagonal(U, axis1=-2, axis2=-1), 1e-6)[..., None]
+    Vd = V + (lam * jnp.maximum(
+        jnp.diagonal(V, axis1=-2, axis2=-1), 1e-6)[..., None]
+        + opts.point_damping) * eye3[None]
+    Vinv = _inv3(Vd + 1e-12 * eye3[None])          # (P,3,3)
+
+    # per-observation W and Y (gathers only)
+    W = jnp.einsum("nri,nrj->nij", Jc_w, Jp_w)              # (N,6,3)
+    Y = jnp.einsum("nij,njk->nik", W, Vinv[prob.obs_point])  # (N,6,3)
+    corr = jnp.einsum("nik,nk->ni", Y, gp[prob.obs_point])  # (N,6)
+    b = -jnp.einsum("ni,na->ia", E, gcn + corr)             # (I,6)
+
+    # S = U_diag - sum_p A_p B_pᵀ with per-point, per-camera aggregates
+    E_slot = E[prob.trk_obs] * tmask[..., 0]                # (P,T,I)
+    Y_slot = Y[prob.trk_obs] * tmask                        # (P,T,6,3)
+    W_slot = W[prob.trk_obs] * tmask
+    A = jnp.einsum("pti,ptak->piak", E_slot, Y_slot)        # (P,I,6,3)
+    B = jnp.einsum("pti,ptak->piak", E_slot, W_slot)        # (P,I,6,3)
+    S = -jnp.einsum("piak,pjbk->ijab", A, B)                # (I,I,6,6)
+    S = S.at[jnp.arange(I), jnp.arange(I)].add(U)
+
+    free = (~prob.const_image).astype(dtype)
+    Sm = S * free[:, None, None, None] * free[None, :, None, None]
+    Sm = Sm.at[jnp.arange(I), jnp.arange(I)].add(
+        (1.0 - free)[:, None, None] * eyeC[None])
+    b = b * free[:, None]
+
+    Sfull = Sm.transpose(0, 2, 1, 3).reshape(I * 6, I * 6)
+    Sfull = 0.5 * (Sfull + Sfull.T)
+    L, low = jax.scipy.linalg.cho_factor(
+        Sfull + 1e-10 * jnp.eye(I * 6, dtype=dtype))
+    dcam = jax.scipy.linalg.cho_solve((L, low),
+                                      b.reshape(I * 6)).reshape(I, 6)
+
+    # back-substitute points: dx_p = Vinv (gp - sum_k W_kᵀ dcam_{i_k})
+    dc_slots = dcam[prob.obs_image[prob.trk_obs]] * \
+        prob.trk_mask[..., None]                            # (P,T,6)
+    wtd = jnp.einsum("ptij,pti->pj", W_slot, dc_slots)      # (P,3)
+    dpt = jnp.einsum("pij,pj->pi", Vinv, gp - wtd)
+    dpt = dpt * (~prob.const_points)[:, None].astype(dtype)
+    dcam = dcam * free[:, None]
+    return dcam, dpt
+
+
 def _build_and_solve(prob: BAProblem, r, Jc, Jp, w, lam, opts: BAOptions):
     """One damped Gauss-Newton step via dense Schur complement.
 
@@ -297,6 +433,22 @@ def _build_and_solve(prob: BAProblem, r, Jc, Jp, w, lam, opts: BAOptions):
     Jc_w = Jc * sw * camfree
     Jp_w = Jp * sw * ptfree
     r_w = r * sw[..., 0]
+
+    T = prob.trk_obs.shape[1]
+    N = r.shape[0]
+    mode = opts.schur_assembly
+    if mode == "auto":
+        # matmul path is scatter-free (TPU-fast) but materializes
+        # (N, I) / (P, T, I) one-hots and (P, I, 6, 3) blocks
+        if max(N * I, P * T * I, P * I * 18) * 4 < (1 << 28):
+            mode = "matmul"
+        elif P * T * T * 36 * 4 < (1 << 28):
+            mode = "flat"
+        else:
+            mode = "scan"
+
+    if mode == "matmul":
+        return _build_and_solve_matmul(prob, r_w, Jc_w, Jp_w, lam, opts)
 
     # blocks
     U = jax.ops.segment_sum(
@@ -317,10 +469,9 @@ def _build_and_solve(prob: BAProblem, r, Jc, Jp, w, lam, opts: BAOptions):
     Vd = V + (lam * jnp.maximum(
         jnp.diagonal(V, axis1=-2, axis2=-1), 1e-6)[..., None]
         + opts.point_damping) * eye3[None]
-    Vinv = jnp.linalg.inv(Vd + 1e-12 * eye3[None])                  # (P,3,3)
+    Vinv = _inv3(Vd + 1e-12 * eye3[None])                  # (P,3,3)
 
     # per-track-slot camera index & W block
-    T = prob.trk_obs.shape[1]
     slot_img = prob.obs_image[prob.trk_obs]            # (P, T)
     slot_W = W[prob.trk_obs] * prob.trk_mask[..., None, None]       # (P,T,6,3)
     Y = jnp.einsum("ptij,pjk->ptik", slot_W, Vinv)                  # (P,T,6,3)
@@ -332,11 +483,6 @@ def _build_and_solve(prob: BAProblem, r, Jc, Jp, w, lam, opts: BAOptions):
 
     # reduced camera matrix: S = U - sum_p Y_k W_lᵀ scattered to (i_k, i_l)
     idx_flat = (slot_img[:, :, None] * I + slot_img[:, None, :])    # (P,T,T)
-    P_ = Y.shape[0]
-    mode = opts.schur_assembly
-    if mode == "auto":
-        # flat path materializes P*T*T 6x6 blocks; cap at ~256 MB f32
-        mode = "flat" if P_ * T * T * 36 * 4 < (1 << 28) else "scan"
     if mode == "flat":
         # one batched einsum (MXU) + one segment_sum — no sequential scan
         blocks = jnp.einsum("ptij,pskj->ptsik", Y, slot_W)  # (P,T,T,6,6)
