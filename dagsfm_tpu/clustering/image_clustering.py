@@ -26,6 +26,7 @@ class ClusteringOptions:
     completeness_ratio: float = 0.5
     image_overlap: int = 50
     relax_ratio: float = 1.3
+    branching_factor: int = 2        # ref branching_factor (BiCut fanout)
     cluster_type: str = "SPECTRAL"   # SPECTRAL | NCUT | COMMUNITY | HYBRID
     # adaptive switch: degree stddev above which HYBRID is used
     # (ref: sigma = 4.0, image_clustering.cpp:419-449)
@@ -63,13 +64,21 @@ class ImageClustering:
 
     # ------------------------------------------------------------------- cut
     def _labels(self, num_clusters: int) -> np.ndarray:
-        index = {v: k for k, v in enumerate(self.nodes)}
-        earr = np.array([(index[i], index[j]) for (i, j) in self.edges],
+        return self._sub_labels(self.nodes, self.edges, num_clusters)
+
+    def _sub_labels(self, nodes: list, edges: dict,
+                    num_clusters: int) -> np.ndarray:
+        index = {v: k for k, v in enumerate(nodes)}
+        earr = np.array([(index[i], index[j]) for (i, j) in edges],
                         np.int32)
-        warr = np.array(list(self.edges.values()))
+        warr = np.array(list(edges.values()))
+        return self._dispatch_labels(nodes, earr, warr, num_clusters)
+
+    def _dispatch_labels(self, nodes, earr, warr,
+                         num_clusters: int) -> np.ndarray:
         ctype = self.opts.cluster_type.upper()
         if ctype == "HYBRID" or ctype == "COMMUNITY":
-            labels = community_detection(earr, warr, len(self.nodes))
+            labels = community_detection(earr, warr, len(nodes))
             if ctype == "HYBRID":
                 # re-cut oversized communities spectrally
                 # (ref hybrid_cluster.cpp:43-110)
@@ -102,11 +111,11 @@ class ImageClustering:
             # native multilevel Graclus-style cut (ref NCutCluster ->
             # base/graph_cut.cc); falls back to spectral if no .so
             from dagsfm_tpu.graph import native
-            return native.ncut(len(self.nodes), earr.astype(np.int64),
+            return native.ncut(len(nodes), earr.astype(np.int64),
                                warr, num_clusters,
                                seed=self.opts.seed).astype(np.int64)
         # SPECTRAL uses the device spectral ncut relaxation
-        return spectral_cluster(earr, warr, len(self.nodes), num_clusters,
+        return spectral_cluster(earr, warr, len(nodes), num_clusters,
                                 seed=self.opts.seed)
 
     def adaptive_cluster_type(self) -> str:
@@ -193,6 +202,108 @@ class ImageClustering:
         self.summary["num_recovered_edges"] = recovered
         self.summary["overlap_added"] = dict(added)
         return self.clusters
+
+    # ----------------------------------------------------- bicut variant
+    def bicut(self, cluster: ImageCluster) -> list:
+        """One branching_factor-way cut of a single cluster; cross edges
+        go to the discarded-edge heap (ref BiCut, image_clustering.cpp:
+        249-288)."""
+        import heapq
+        bf = self.opts.branching_factor
+        if len(cluster.image_ids) <= 1 or not cluster.edges:
+            return [ImageCluster(0, list(cluster.image_ids),
+                                 dict(cluster.edges))]
+        labels = self._sub_labels(cluster.image_ids, cluster.edges, bf)
+        index = {v: n for n, v in enumerate(cluster.image_ids)}
+        children = [ImageCluster(k, [], {}) for k in range(bf)]
+        for v in cluster.image_ids:
+            children[int(labels[index[v]])].image_ids.append(v)
+        for (i, j), w in cluster.edges.items():
+            li, lj = int(labels[index[i]]), int(labels[index[j]])
+            if li == lj:
+                children[li].edges[(i, j)] = w
+            else:
+                heapq.heappush(self._discarded, (-w, i, j))
+        return [c for c in children if c.image_ids]
+
+    def cut_and_expand(self) -> list:
+        """Iterative BiCut + graph-expansion variant from the paper
+        (ref CutAndExpand, image_clustering.cpp:290-369): recursively
+        bisect oversized clusters, then re-add discarded edges to any
+        cluster still under the completeness-ratio overlap bound,
+        re-splitting clusters that grew past relax_ratio * ub."""
+        import heapq
+        from collections import deque
+
+        self._discarded: list = []
+        root = ImageCluster(0, list(self.nodes), dict(self.edges))
+        queue = deque([root])
+        inter: list = []
+        iters = 0
+        while queue and iters < 32:
+            iters += 1
+            while queue:
+                c = queue.popleft()
+                if len(c.image_ids) <= self.opts.num_images_ub:
+                    inter.append(c)
+                else:
+                    queue.extend(self.bicut(c))
+            # graph expansion: strongest discarded edges first
+            while self._discarded:
+                accepting = self._accepting_clusters(inter)
+                if not any(accepting):
+                    self._discarded = []
+                    break
+                negw, i, j = heapq.heappop(self._discarded)
+                cid = self._cluster_for_edge(inter, accepting, i, j)
+                if cid is None:
+                    continue
+                c = inter[cid]
+                s = set(c.image_ids)
+                vnew = i if i not in s else j
+                if vnew not in s:
+                    c.image_ids.append(vnew)
+                c.edges[self._canon((i, j))] = -negw
+            # regroup oversized clusters
+            max_size = self.opts.relax_ratio * self.opts.num_images_ub
+            keep = []
+            for c in inter:
+                if len(c.image_ids) > max_size:
+                    queue.append(c)
+                else:
+                    keep.append(c)
+            inter = keep
+        for k, c in enumerate(inter):
+            c.cluster_id = k
+            c.image_ids.sort()
+        self.clusters = inter
+        self.summary["num_clusters"] = len(inter)
+        self.summary["cut_and_expand_iters"] = iters
+        return self.clusters
+
+    def _accepting_clusters(self, inter: list) -> list:
+        """Per-cluster flag: repeated-image ratio still below the
+        completeness bound (ref ClusterSatisfyCompletenessRatio +
+        IsRemainingClusters, image_clustering.cpp:451-509)."""
+        sets = [set(c.image_ids) for c in inter]
+        out = []
+        for a, sa in enumerate(sets):
+            repeated = set()
+            for b, sb in enumerate(sets):
+                if a != b:
+                    repeated |= (sa & sb)
+            out.append(len(repeated) / max(len(sa), 1)
+                       <= self.opts.completeness_ratio)
+        return out
+
+    def _cluster_for_edge(self, inter, accepting, i, j):
+        for idx, c in enumerate(inter[:-1] if len(inter) > 1 else inter):
+            if not accepting[idx]:
+                continue
+            s = set(c.image_ids)
+            if i in s or j in s:
+                return idx
+        return None
 
     def expand_all_edges(self) -> list:
         """Unconditionally assign every lost edge to one incident cluster

@@ -48,6 +48,13 @@ class SiftOptions(NamedTuple):
     candidates_per_octave: int = 1024
     descriptor_patch: int = 16          # sample grid (4 bins x 4 samples)
     l1_root: bool = True
+    # ref sift.h:44-114 extras:
+    upright: bool = False               # skip orientation (ref upright)
+    domain_size_pooling: bool = False   # DSP-SIFT (ref dsp_*)
+    dsp_min_scale: float = 1.0 / 6.0
+    dsp_max_scale: float = 3.0
+    dsp_num_scales: int = 10
+    estimate_affine_shape: bool = False  # covdet-style affine adaptation
 
 
 class SiftFeatures(NamedTuple):
@@ -234,13 +241,59 @@ def _orient_and_describe(gauss_b, lvl, yf, xf, sigma, opts: SiftOptions):
         theta = (peak + dpk + 0.5) / 36.0 * 2 * jnp.pi - jnp.pi
         return theta
 
-    theta = jax.vmap(orient_one)(lvl, yf, xf, sigma)
+    if opts.upright:
+        theta = jnp.zeros_like(yf)
+    else:
+        theta = jax.vmap(orient_one)(lvl, yf, xf, sigma)
+
+    # --- optional affine shape (ref estimate_affine_shape / covdet):
+    # one-shot second-moment-matrix adaptation — the sampling grid is
+    # warped by M^{-1/2} (normalized to unit det) around the keypoint
+    if opts.estimate_affine_shape:
+        def affine_one(lvl, y, x, s):
+            img = img_at(lvl)
+            step = 1.5 * s / nb * 2.0
+            ys = y + grid[:, None] * step
+            xs = x + grid[None, :] * step
+            v = _bilinear(img, ys, xs)
+            gy = jnp.gradient(v, axis=0)
+            gx = jnp.gradient(v, axis=1)
+            w = jnp.exp(-(grid[:, None] ** 2 + grid[None, :] ** 2)
+                        / (2 * (nb / 1.5) ** 2))
+            mxx = jnp.sum(w * gx * gx)
+            mxy = jnp.sum(w * gx * gy)
+            myy = jnp.sum(w * gy * gy)
+            M = jnp.array([[mxx, mxy], [mxy, myy]])
+            M = M / jnp.maximum(jnp.trace(M), 1e-12)
+            # inverse square root via eigendecomposition (2x2 closed)
+            tr = M[0, 0] + M[1, 1]
+            det = M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0]
+            disc = jnp.sqrt(jnp.maximum(tr * tr / 4 - det, 1e-18))
+            l1 = tr / 2 + disc
+            l2 = jnp.maximum(tr / 2 - disc, 1e-9)
+            # eigvec for l1
+            e1 = jnp.where(jnp.abs(M[0, 1]) > 1e-12,
+                           jnp.array([M[0, 1], l1 - M[0, 0]]),
+                           jnp.array([1.0, 0.0]))
+            e1 = e1 / jnp.maximum(jnp.linalg.norm(e1), 1e-12)
+            e2 = jnp.array([-e1[1], e1[0]])
+            V = jnp.stack([e1, e2], axis=1)
+            Ainv = V @ jnp.diag(jnp.array(
+                [l1 ** -0.5, l2 ** -0.5])) @ V.T
+            # normalize to unit determinant so scale stays s
+            Ainv = Ainv / jnp.sqrt(jnp.maximum(
+                jnp.linalg.det(Ainv), 1e-12))
+            return Ainv
+
+        Aff = jax.vmap(affine_one)(lvl, yf, xf, sigma)   # (K, 2, 2)
+    else:
+        Aff = jnp.broadcast_to(jnp.eye(2), (K, 2, 2))
 
     # --- descriptor: 4x4 spatial bins x 8 orientation bins
     half = P / 2.0
     gg = (jnp.arange(P, dtype=jnp.float32) - half + 0.5) / half  # [-1,1)
 
-    def desc_one(lvl, y, x, s, th):
+    def desc_one(lvl, y, x, s, th, A):
         img = img_at(lvl)
         ct = jnp.cos(th)
         st = jnp.sin(th)
@@ -248,9 +301,11 @@ def _orient_and_describe(gauss_b, lvl, yf, xf, sigma, opts: SiftOptions):
         ext = 6.0 * s
         u = gg[:, None] * ext                            # (P, 1) local y
         v = gg[None, :] * ext                            # (1, P) local x
-        # rotate local coords by theta
-        ys = y + (u * ct - v * st)
-        xs = x + (u * st + v * ct)
+        # rotate local coords by theta, then affine-warp
+        uy = u * ct - v * st
+        ux = u * st + v * ct
+        ys = y + A[0, 0] * uy + A[0, 1] * ux
+        xs = x + A[1, 0] * uy + A[1, 1] * ux
         val = _bilinear(img, ys, xs)                     # (P, P)
         gy = jnp.gradient(val, axis=0)
         gx = jnp.gradient(val, axis=1)
@@ -285,15 +340,33 @@ def _orient_and_describe(gauss_b, lvl, yf, xf, sigma, opts: SiftOptions):
                         * 8 + oo
                     out = out.at[lin.astype(jnp.int32).reshape(-1)].add(
                         jnp.where(okb, wgt, 0.0).reshape(-1))
-        # normalize: L2 -> clip 0.2 -> L2; optional L1-root (ref L1_ROOT)
-        out = out / jnp.maximum(jnp.linalg.norm(out), 1e-9)
-        out = jnp.minimum(out, 0.2)
-        out = out / jnp.maximum(jnp.linalg.norm(out), 1e-9)
-        if opts.l1_root:
-            out = jnp.sqrt(out / jnp.maximum(jnp.sum(jnp.abs(out)), 1e-9))
         return out
 
-    desc = jax.vmap(desc_one)(lvl, yf, xf, sigma, theta)
+    def normalize(out):
+        # L2 -> clip 0.2 -> L2; optional L1-root (ref L1_ROOT)
+        out = out / jnp.maximum(jnp.linalg.norm(out, axis=-1,
+                                                keepdims=True), 1e-9)
+        out = jnp.minimum(out, 0.2)
+        out = out / jnp.maximum(jnp.linalg.norm(out, axis=-1,
+                                                keepdims=True), 1e-9)
+        if opts.l1_root:
+            out = jnp.sqrt(out / jnp.maximum(
+                jnp.sum(jnp.abs(out), axis=-1, keepdims=True), 1e-9))
+        return out
+
+    if opts.domain_size_pooling:
+        # DSP-SIFT (ref dsp_min/max_scale, dsp_num_scales): pool the raw
+        # histograms over a range of domain sizes, then normalize once —
+        # one extra vmap axis, embarrassingly batched on device
+        mults = jnp.linspace(opts.dsp_min_scale, opts.dsp_max_scale,
+                             opts.dsp_num_scales)
+        raw = jax.vmap(
+            lambda m: jax.vmap(desc_one)(lvl, yf, xf, sigma * m, theta,
+                                         Aff))(mults)    # (M, K, 128)
+        desc = normalize(jnp.mean(raw, axis=0))
+    else:
+        desc = normalize(jax.vmap(desc_one)(lvl, yf, xf, sigma, theta,
+                                            Aff))
     return theta, desc
 
 

@@ -136,3 +136,35 @@ class TestRigBundleAdjusterCli:
               "--max_num_iterations", "10"])
         rec2 = scene_io.read_model_bin(out)
         assert rec2.num_reg_images() == rec.num_reg_images()
+
+
+class TestShardedMatching:
+    def test_matches_equal_unsharded(self):
+        import jax
+        from dagsfm_tpu.features.matching import (MatchingOptions,
+                                                  match_pairs)
+        from dagsfm_tpu.parallel.matching_sharded import (
+            match_pairs_sharded)
+        rng = np.random.default_rng(7)
+        K = 64
+        descs, masks = {}, {}
+        base = rng.normal(0, 1, (40, 128)).astype(np.float32)
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        for i in range(6):
+            d = base + rng.normal(0, 0.05, base.shape).astype(np.float32)
+            d /= np.linalg.norm(d, axis=1, keepdims=True)
+            pad = np.zeros((K, 128), np.float32)
+            pad[:40] = d
+            descs[i] = pad
+            m = np.zeros(K, bool)
+            m[:40] = True
+            masks[i] = m
+        pairs = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+        opts = MatchingOptions()
+        ref = match_pairs(descs, masks, pairs, opts, use_pallas=False)
+        shd = match_pairs_sharded(descs, masks, pairs, opts)
+        assert jax.device_count() >= 8   # virtual CPU mesh active
+        assert set(ref) == set(shd)
+        for p in pairs:
+            np.testing.assert_array_equal(ref[p], shd[p])
+            assert len(ref[p]) > 10
