@@ -125,6 +125,11 @@ def shard_problem(arrays, num_devices: int, max_track_len: int = 16,
                 trk_obs[d, lp, k] = n_local
                 trk_mask[d, lp, k] = True
                 fill[lp] = k + 1
+            else:
+                # overflowed track slot: drop the observation so every
+                # normal-equation block sees the same set (mirrors
+                # make_problem)
+                obs_mask[d, n_local] = False
 
     I = arrays.image_qvec.shape[0]
     if const_image is None:
@@ -196,42 +201,37 @@ def _local_blocks(qvec, tvec, camidx, model_id, cam_params, const_image,
     Jp_w = Jp * sw
     r_w = r * sw[..., 0]
 
-    Pd = points.shape[0]
-    U = jax.ops.segment_sum(jnp.einsum("nri,nrj->nij", Jc_w, Jc_w),
-                            obs_image, I)
-    V = jax.ops.segment_sum(jnp.einsum("nri,nrj->nij", Jp_w, Jp_w),
-                            obs_point, Pd)
-    W = jnp.einsum("nri,nrj->nij", Jc_w, Jp_w)
-    gc = -jax.ops.segment_sum(jnp.einsum("nri,nr->ni", Jc_w, r_w),
-                              obs_image, I)
-    gp = -jax.ops.segment_sum(jnp.einsum("nri,nr->ni", Jp_w, r_w),
-                              obs_point, Pd)
+    # scatter-free local assembly (same design as
+    # ba._build_and_solve_matmul): camera-indexed sums ride one-hot
+    # einsums on the MXU, point-indexed sums ride track-slot gathers —
+    # no TPU scatters in the per-iteration hot path
+    E = jax.nn.one_hot(obs_image, I, dtype=dtype)               # (Nd, I)
+    U = jnp.einsum("ni,nab->iab", E,
+                   jnp.einsum("nri,nrj->nij", Jc_w, Jc_w))
+    gcn = jnp.einsum("nra,nr->na", Jc_w, r_w)
+    tm = trk_mask.astype(dtype)[..., None, None]
+    Jp_slot = Jp_w[trk_obs] * tm                                # (Pd,T,2,3)
+    r_slot = r_w[trk_obs] * tm[..., 0]
+    V = jnp.einsum("ptri,ptrj->pij", Jp_slot, Jp_slot)
+    gp = -jnp.einsum("ptri,ptr->pi", Jp_slot, r_slot)
 
     eye3 = jnp.eye(3, dtype=dtype)
     Vd = V + (lam * jnp.maximum(jnp.diagonal(V, axis1=-2, axis2=-1),
                                 1e-6)[..., None] + point_damping) * eye3
-    Vinv = jnp.linalg.inv(Vd)
+    Vinv = ba._inv3(Vd)
 
-    T = trk_obs.shape[1]
+    W = jnp.einsum("nri,nrj->nij", Jc_w, Jp_w)                  # (Nd,6,3)
+    Y = jnp.einsum("nij,njk->nik", W, Vinv[obs_point])
+    corr = jnp.einsum("nik,nk->ni", Y, gp[obs_point])
+    b_local = -jnp.einsum("ni,na->ia", E, gcn + corr)
+
     slot_img = obs_image[trk_obs]
-    slot_W = W[trk_obs] * trk_mask[..., None, None]
-    Y = jnp.einsum("ptij,pjk->ptik", slot_W, Vinv)
-
-    corr = jnp.einsum("ptij,pj->pti", Y, gp)
-    b_local = gc - jax.ops.segment_sum(corr.reshape(-1, 6),
-                                       slot_img.reshape(-1), I)
-
-    S_local = jnp.zeros((I, I, 6, 6), dtype)
-    idx_flat = slot_img[:, :, None] * I + slot_img[:, None, :]
-
-    def body(S, kl):
-        k, l = kl // T, kl % T
-        blk = jnp.einsum("pij,pkj->pik", Y[:, k], slot_W[:, l])
-        S = S.reshape(I * I, 6, 6).at[idx_flat[:, k, l]].add(-blk) \
-            .reshape(I, I, 6, 6)
-        return S, None
-
-    S_local, _ = jax.lax.scan(body, S_local, jnp.arange(T * T))
+    slot_W = W[trk_obs] * tm
+    E_slot = E[trk_obs] * tm[..., 0, 0][..., None]              # (Pd,T,I)
+    Y_slot = Y[trk_obs] * tm
+    A = jnp.einsum("pti,ptak->piak", E_slot, Y_slot)
+    B = jnp.einsum("pti,ptak->piak", E_slot, slot_W)
+    S_local = -jnp.einsum("piak,pjbk->ijab", A, B)
     S_local = S_local.at[jnp.arange(I), jnp.arange(I)].add(U)
 
     # damp camera diagonal locally (will psum; damping applied after psum
