@@ -572,26 +572,37 @@ def solve(prob: BAProblem, opts: BAOptions = BAOptions()):
     """
     init_cost = _plain_cost(prob, opts)
 
+    # only the optimized state rides the scan carry; the (much larger)
+    # static observation/track arrays are closed over, so the
+    # accept/reject select touches three small arrays instead of the
+    # whole problem pytree
     def lm_iter(carry, _):
-        prob, lam, cost = carry
-        r, Jc, Jp, Jf = _residuals_and_jacobians(prob, opts.refine_focal,
+        (q, t, X), lam, cost = carry
+        p = prob._replace(image_qvec=q, image_tvec=t, points=X)
+        r, Jc, Jp, Jf = _residuals_and_jacobians(p, opts.refine_focal,
                                                  opts.pinhole_only)
         r2 = jnp.sum(r * r, axis=-1)
         w = _robust_weights(r2, opts.loss, opts.loss_scale)
-        dcam, dpt = _build_and_solve(prob, r, Jc, Jp, w, lam, opts)
-        trial = _apply_step(prob, dcam, dpt)
+        dcam, dpt = _build_and_solve(p, r, Jc, Jp, w, lam, opts)
+        trial = _apply_step(p, dcam, dpt)
         new_cost = _plain_cost(trial, opts)
         accept = new_cost < cost
-        prob = jax.tree.map(
-            lambda a, b: jnp.where(accept, a, b), trial, prob)
+        state = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b),
+            (trial.image_qvec, trial.image_tvec, trial.points),
+            (q, t, X))
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-10),
                         jnp.minimum(lam * 4.0, 1e6))
-        return (prob, lam, cost), cost
+        return (state, lam, cost), cost
 
     lam0 = jnp.asarray(opts.init_lambda, prob.obs_xy.dtype)
-    (prob, lam, cost), _ = jax.lax.scan(
-        lm_iter, (prob, lam0, init_cost), None, length=opts.max_iterations)
+    state0 = (prob.image_qvec, prob.image_tvec, prob.points)
+    (state, lam, cost), _ = jax.lax.scan(
+        lm_iter, (state0, lam0, init_cost), None,
+        length=opts.max_iterations)
+    prob = prob._replace(image_qvec=state[0], image_tvec=state[1],
+                         points=state[2])
     stats = BAStats(init_cost, cost, jnp.asarray(opts.max_iterations), lam)
     return prob, stats
 

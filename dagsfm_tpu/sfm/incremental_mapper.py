@@ -56,6 +56,11 @@ class MapperOptions:
     ba_global_points_ratio: float = 1.1
     ba_local_max_iterations: int = 15
     ba_global_max_iterations: int = 40
+    # periodic model snapshots (ref snapshot_path/snapshot_images_freq,
+    # incremental_mapper_controller.h:121-125): write cameras/images/
+    # points3D .bin under snapshot_path every N registered images
+    snapshot_path: str = ""
+    snapshot_images_freq: int = 0
     num_ransac_hypotheses: int = 512
     max_track_len: int = 16
     seed: int = 0
@@ -593,6 +598,24 @@ class IncrementalMapper:
             self.rec.points3D[pid].error = s / cnts[pid]
         return removed
 
+    def _maybe_snapshot(self) -> None:
+        """Write a model snapshot every snapshot_images_freq registered
+        images (ref WriteSnapshot, incremental_mapper_controller.cc:
+        730-736)."""
+        if not self.opts.snapshot_path or not self.opts.snapshot_images_freq:
+            return
+        n = self.rec.num_reg_images()
+        last = getattr(self, "_last_snapshot_at", 0)
+        if n - last < self.opts.snapshot_images_freq:
+            return
+        self._last_snapshot_at = n
+        import os
+
+        from dagsfm_tpu.scene import io as scene_io
+        out = os.path.join(self.opts.snapshot_path, f"snapshot_{n:06d}")
+        os.makedirs(out, exist_ok=True)
+        scene_io.write_model_bin(self.rec, out)
+
     # ------------------------------------------------- main loop
     def reconstruct(self, callback=None) -> Reconstruction:
         """Full incremental pipeline (ref controller Reconstruct loop)."""
@@ -619,6 +642,7 @@ class IncrementalMapper:
                         self.adjust_global_bundle()
                         self.filter_points()
                     progressed = True
+                    self._maybe_snapshot()
                     if callback is not None:
                         callback(self)
                     break

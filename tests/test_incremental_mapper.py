@@ -75,3 +75,26 @@ def test_reconstruction_with_match_outliers(problem):
     errs = synthetic.pose_errors(rec, sc)
     assert errs["ate"] < 0.05, errs
     assert errs["rot_err_deg_mean"] < 0.2, errs
+
+
+def test_snapshots(tmp_path):
+    """snapshot_images_freq writes periodic model dumps (ref
+    WriteSnapshot, incremental_mapper_controller.cc:730-736)."""
+    import os
+    from dagsfm_tpu.scene import io as scene_io
+    from dagsfm_tpu.scene import synthetic
+    from dagsfm_tpu.sfm.incremental_mapper import (IncrementalMapper,
+                                                   MapperOptions)
+    spec = synthetic.SyntheticSceneSpec(num_cameras=8, num_points=200,
+                                        pixel_noise=0.3, seed=4)
+    sc = synthetic.generate(spec)
+    cams, images, graph = synthetic.to_matching_problem(sc, seed=1)
+    m = IncrementalMapper(cams, images, graph, MapperOptions(
+        init_min_num_inliers=30, num_ransac_hypotheses=128, seed=3,
+        snapshot_path=str(tmp_path), snapshot_images_freq=2))
+    rec = m.reconstruct()
+    snaps = sorted(d for d in os.listdir(tmp_path)
+                   if d.startswith("snapshot_"))
+    assert len(snaps) >= 2
+    rec2 = scene_io.read_model_bin(str(tmp_path / snaps[-1]))
+    assert rec2.num_reg_images() >= 4
