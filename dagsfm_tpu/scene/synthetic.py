@@ -32,6 +32,10 @@ class SyntheticSceneSpec:
     pixel_noise: float = 0.0
     outlier_fraction: float = 0.0
     min_track_length: int = 2
+    # 0 = unlimited; otherwise each point is seen by a random subset of at
+    # most this many cameras (keeps large ring scenes realistically
+    # sparse — real scenes don't have every camera seeing every point)
+    max_track_length: int = 0
     seed: int = 0
     camera_model: str = "SIMPLE_PINHOLE"
 
@@ -112,6 +116,17 @@ def generate(spec: SyntheticSceneSpec) -> SyntheticScene:
                 & (pix[..., 1] >= 0) & (pix[..., 1] < spec.image_height))
     visible = in_front & in_image
 
+    if spec.max_track_length > 0:
+        # keep a random subset of <= max_track_length views per point
+        score = rng.random(visible.shape)
+        score[~visible] = np.inf
+        order = np.argsort(score, axis=0)
+        rank = np.empty_like(order)
+        np.put_along_axis(
+            rank, order,
+            np.broadcast_to(np.arange(I)[:, None], visible.shape), axis=0)
+        visible = visible & (rank < spec.max_track_length)
+
     if spec.pixel_noise > 0:
         pix = pix + rng.normal(0.0, spec.pixel_noise, size=pix.shape)
 
@@ -156,12 +171,54 @@ def to_reconstruction(scene: SyntheticScene,
             point3D_ids=np.full(len(vis), -1, np.int64), registered=True))
 
     if with_points:
+        # vectorized track assembly (the I-inner loop is a wall at
+        # 1000-camera scenes)
+        ii, pp = np.nonzero(scene.visible)
+        kps = kp_index[ii, pp]
+        order = np.argsort(pp, kind="stable")
+        ii_s, pp_s, kp_s = ii[order], pp[order], kps[order]
+        starts = np.searchsorted(pp_s, np.arange(P + 1))
         for p in range(P):
-            track = [(i + 1, int(kp_index[i, p]))
-                     for i in range(I) if scene.visible[i, p]]
-            if len(track) >= 2:
+            a, b = starts[p], starts[p + 1]
+            if b - a >= 2:
+                track = list(zip((ii_s[a:b] + 1).tolist(),
+                                 kp_s[a:b].tolist()))
                 rec.add_point3D(scene.points[p], track)
     return rec
+
+
+def to_scene_arrays(scene: SyntheticScene, dtype=np.float64):
+    """Direct SyntheticScene -> SceneArrays conversion (no Reconstruction
+    round-trip) — bench-scale scenes (1000 cams / 500k+ obs) build in
+    milliseconds instead of the per-point Python track assembly."""
+    from dagsfm_tpu.scene import cameras as cmod
+    from dagsfm_tpu.scene.reconstruction import SceneArrays
+    import jax.numpy as jnp
+
+    I, P = scene.visible.shape
+    track_len = scene.visible.sum(axis=0)
+    pt_keep = track_len >= max(2, scene.spec.min_track_length)
+    ii, pp = np.nonzero(scene.visible & pt_keep[None, :])
+    qvec = np.asarray(rops.rotmat_to_quat(jnp.asarray(scene.R)))
+
+    cam_params = np.zeros((1, cmod.MAX_CAMERA_PARAMS), dtype)
+    p = np.asarray(scene.camera.params)
+    cam_params[0, : len(p)] = p
+
+    return SceneArrays(
+        cam_model_id=np.array([scene.camera.model_id], np.int32),
+        cam_params=cam_params,
+        image_qvec=qvec.astype(dtype),
+        image_tvec=scene.t.astype(dtype),
+        image_camidx=np.zeros(I, np.int32),
+        image_mask=np.ones(I, bool),
+        points_xyz=scene.points.astype(dtype),
+        points_mask=pt_keep,
+        obs_image=ii.astype(np.int32),
+        obs_point=pp.astype(np.int32),
+        obs_xy=scene.pixels[ii, pp].astype(dtype),
+        obs_mask=np.ones(len(ii), bool),
+    )
 
 
 def pose_errors(rec: Reconstruction, scene: SyntheticScene,

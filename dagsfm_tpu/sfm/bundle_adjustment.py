@@ -55,6 +55,11 @@ class BAProblem(NamedTuple):
     # track blocks: obs grouped by point, padded to T slots
     trk_obs: jax.Array       # (P, T) int32 index into obs arrays (0 pad)
     trk_mask: jax.Array      # (P, T) bool
+    # camera blocks: obs grouped by image, padded to M slots (the dual of
+    # trk_obs; makes camera-indexed reductions gather+sum instead of
+    # scatter — required by the scatter-free iterative-Schur matvec)
+    cam_obs: jax.Array       # (I, M) int32 index into obs arrays (0 pad)
+    cam_mask: jax.Array      # (I, M) bool
     # config
     const_image: jax.Array   # (I,) bool — pose held fixed (gauge)
     const_points: jax.Array  # (P,) bool
@@ -76,6 +81,17 @@ class BAOptions(NamedTuple):
     #  'flat' = one (P*T*T) einsum + segment_sum, 'matmul' = scatter-free
     #  (gathers + one-hot einsums on the MXU; fastest on TPU), 'auto'
     schur_assembly: str = "auto"
+    # linear-solver regime, mirroring the reference's size-based pick
+    # (/root/reference/src/optim/bundle_adjustment.cc:273-284:
+    # <=50 imgs DENSE_SCHUR, <=1000 SPARSE_SCHUR, else ITERATIVE_SCHUR
+    # with SCHUR_JACOBI). We have no sparse-direct factorization; 'auto'
+    # uses the dense Cholesky up to dense_threshold images and the
+    # matrix-free SCHUR_JACOBI-preconditioned CG above it — S is never
+    # materialized as (I,I,6,6) in the iterative regime.
+    solver: str = "auto"               # 'dense' | 'iterative' | 'auto'
+    dense_threshold: int = 250
+    max_linear_iterations: int = 100   # ref BA config: 100 linear iters
+    linear_rtol: float = 1e-3          # CG stop: ||r|| <= rtol * ||b||
 
 
 class BAStats(NamedTuple):
@@ -112,21 +128,34 @@ def make_problem(arrays, max_track_len: int = 16,
     if omn.any():
         actual = int(np.bincount(opn[omn], minlength=P).max())
         max_track_len = min(max_track_len, max(4, (actual + 3) // 4 * 4))
-    # group observation indices by point
+    # group observation indices by point (vectorized: stable sort by
+    # point id, slot position = rank within group; overflow slots are
+    # dropped below)
     trk_obs = np.zeros((P, max_track_len), np.int32)
     trk_mask = np.zeros((P, max_track_len), bool)
-    fill = np.zeros(P, np.int32)
     op = np.asarray(arrays.obs_point)
     om = np.asarray(arrays.obs_mask)
-    for n in range(N):
-        if not om[n]:
-            continue
-        p = op[n]
-        k = fill[p]
-        if k < max_track_len:
-            trk_obs[p, k] = n
-            trk_mask[p, k] = True
-            fill[p] = k + 1
+    live0 = np.nonzero(om)[0]
+    order = np.argsort(op[live0], kind="stable")
+    sorted_n = live0[order]
+    sorted_p = op[sorted_n]
+    starts = np.searchsorted(sorted_p, np.arange(P))
+    sizes = np.bincount(sorted_p, minlength=P)
+    pos = np.arange(len(sorted_n)) - starts[sorted_p]
+    # overflowing tracks are decimated uniformly across the track (not
+    # truncated to the first T observations, which would bias the kept
+    # views toward low image ids — the ref caps track length the same
+    # way but on unordered sets, max_track_length at
+    # distributed_mapper_controller.h:52-56)
+    sz = sizes[sorted_p]
+    T = max_track_len
+    keep = (pos * T) // np.maximum(sz, 1) != ((pos + 1) * T) // \
+        np.maximum(sz, 1)
+    keep |= sz <= T
+    slot = np.where(sz <= T, pos, (pos * T) // np.maximum(sz, 1))
+    fits = keep & (slot < T)
+    trk_obs[sorted_p[fits], slot[fits]] = sorted_n[fits]
+    trk_mask[sorted_p[fits], slot[fits]] = True
     # observations that did not fit a track slot are dropped entirely so
     # all normal-equation blocks see the same observation set (the ref
     # caps track length the same way: max_track_length,
@@ -167,6 +196,8 @@ def make_problem(arrays, max_track_len: int = 16,
     if const_points is None:
         const_points = np.zeros(P, bool)
 
+    cam_obs, cam_mask = _group_obs_by_image(obs_image_c, om_c, I)
+
     return BAProblem(
         jnp.asarray(arrays.image_qvec, dtype),
         jnp.asarray(arrays.image_tvec, dtype),
@@ -180,9 +211,35 @@ def make_problem(arrays, max_track_len: int = 16,
         jnp.asarray(om_c),
         jnp.asarray(trk_obs),
         jnp.asarray(trk_mask),
+        jnp.asarray(cam_obs),
+        jnp.asarray(cam_mask),
         jnp.asarray(const_image),
         jnp.asarray(const_points),
     )
+
+
+def _group_obs_by_image(obs_image, obs_mask, num_images: int):
+    """(I, M) observation-index slots grouped by image (dual of trk_obs).
+
+    M = max live observations of any image, rounded up to a multiple of 8
+    so buckets reuse across LM solves of similar problems.
+    """
+    import numpy as np
+    oi = np.asarray(obs_image)
+    om = np.asarray(obs_mask)
+    live = np.nonzero(om)[0]
+    counts = np.bincount(oi[live], minlength=num_images)
+    M = max(8, int(-(-int(counts.max(initial=0)) // 8) * 8))
+    cam_obs = np.zeros((num_images, M), np.int32)
+    cam_mask = np.zeros((num_images, M), bool)
+    order = np.argsort(oi[live], kind="stable")
+    sorted_live = live[order]
+    sorted_i = oi[sorted_live]
+    starts = np.searchsorted(sorted_i, np.arange(num_images))
+    pos = np.arange(len(sorted_live)) - starts[sorted_i]
+    cam_obs[sorted_i, pos] = sorted_live
+    cam_mask[sorted_i, pos] = True
+    return cam_obs, cam_mask
 
 
 # ---------------------------------------------------------------------------
@@ -227,11 +284,9 @@ def _project_one_pinhole(dcam, dpt, qvec, tvec, params, xyz, xy):
 
 
 def _is_double_focal(model_id):
-    out = jnp.zeros_like(model_id, dtype=bool)
-    for mid in (cm.PINHOLE, cm.OPENCV, cm.OPENCV_FISHEYE, cm.FULL_OPENCV,
-                cm.FOV, cm.THIN_PRISM_FISHEYE):
-        out = out | (model_id == mid)
-    return out
+    # delegate to the camera module's layout table so new models can't
+    # silently diverge from the param layout used here
+    return ~cm._is_single_focal(model_id)
 
 
 def _pinhole_fparams(prob: BAProblem):
@@ -415,6 +470,126 @@ def _build_and_solve_matmul(prob: BAProblem, r_w, Jc_w, Jp_w, lam,
     return dcam, dpt
 
 
+def _build_and_solve_iterative(prob: BAProblem, r_w, Jc_w, Jp_w, lam,
+                               opts: BAOptions):
+    """ITERATIVE_SCHUR regime: SCHUR_JACOBI-preconditioned CG on the
+    reduced camera system, never materializing S as (I,I,6,6).
+
+    Mirrors the reference's large-scene pick
+    (/root/reference/src/optim/bundle_adjustment.cc:273-284: >1000 images
+    -> ITERATIVE_SCHUR + SCHUR_JACOBI). The matvec S·x is matrix-free and
+    scatter-free:
+
+        S·x = U_damped·x − W V⁻¹ Wᵀ·x
+        Wᵀ·x : per-obs gather of x at obs_image + (6,3)ᵀ block product,
+               point-reduced through trk_obs track slots;
+        W·y  : per-obs gather of y at obs_point + block product,
+               camera-reduced through cam_obs camera slots.
+
+    Cost per CG iteration: O(N·18) flops + two gathers — no (I,I) term.
+    """
+    I = prob.image_qvec.shape[0]
+    dtype = r_w.dtype
+    eyeC = jnp.eye(6, dtype=dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    free = (~prob.const_image).astype(dtype)
+
+    # per-camera blocks U, gc via camera-slot gathers (scatter-free)
+    cmask = prob.cam_mask.astype(dtype)[..., None, None]
+    Jc_slot = Jc_w[prob.cam_obs] * cmask                    # (I,M,2,6)
+    rc_slot = r_w[prob.cam_obs] * cmask[..., 0]             # (I,M,2)
+    U = jnp.einsum("imra,imrb->iab", Jc_slot, Jc_slot)      # (I,6,6)
+    gc = -jnp.einsum("imra,imr->ia", Jc_slot, rc_slot)      # (I,6)
+
+    # per-point blocks V, gp via track-slot gathers
+    tmask = prob.trk_mask.astype(dtype)[..., None, None]
+    Jp_slot = Jp_w[prob.trk_obs] * tmask                    # (P,T,2,3)
+    rp_slot = r_w[prob.trk_obs] * tmask[..., 0]
+    V = jnp.einsum("ptri,ptrj->pij", Jp_slot, Jp_slot)
+    gp = -jnp.einsum("ptri,ptr->pi", Jp_slot, rp_slot)
+
+    Ud = U + lam * eyeC[None] * jnp.maximum(
+        jnp.diagonal(U, axis1=-2, axis2=-1), 1e-6)[..., None]
+    Vd = V + (lam * jnp.maximum(
+        jnp.diagonal(V, axis1=-2, axis2=-1), 1e-6)[..., None]
+        + opts.point_damping) * eye3[None]
+    Vinv = _inv3(Vd + 1e-12 * eye3[None])                   # (P,3,3)
+
+    W = jnp.einsum("nri,nrj->nij", Jc_w, Jp_w)              # (N,6,3)
+    WVinv = jnp.einsum("nij,njk->nik", W, Vinv[prob.obs_point])  # (N,6,3)
+
+    def cam_reduce(z):
+        """(N,6) per-obs values -> (I,6) sums by image (gather+sum)."""
+        z_slot = z[prob.cam_obs] * prob.cam_mask[..., None].astype(dtype)
+        return jnp.sum(z_slot, axis=1)
+
+    # rhs: b = gc − W V⁻¹ gp, camera-reduced
+    b = gc - cam_reduce(jnp.einsum("nik,nk->ni", WVinv, gp[prob.obs_point]))
+    b = b * free[:, None]
+
+    # SCHUR_JACOBI preconditioner: diagonal blocks of S
+    B = jnp.einsum("nik,njk->nij", WVinv, W)                # (N,6,6)
+    Sdiag = Ud - cam_reduce(B.reshape(-1, 36)).reshape(I, 6, 6)
+    Sdiag = Sdiag * free[:, None, None] + \
+        (1.0 - free)[:, None, None] * eyeC[None]
+    Sdiag = 0.5 * (Sdiag + jnp.swapaxes(Sdiag, -1, -2)) + 1e-10 * eyeC[None]
+    Minv = jnp.linalg.solve(Sdiag, jnp.broadcast_to(eyeC, Sdiag.shape))
+
+    def S_mv(x):
+        xm = x * free[:, None]
+        u = jnp.einsum("nij,ni->nj", W, xm[prob.obs_image])   # (N,3) Wᵀx
+        u_slot = u[prob.trk_obs] * prob.trk_mask[..., None].astype(dtype)
+        tmp = jnp.sum(u_slot, axis=1)                         # (P,3)
+        y = jnp.einsum("pij,pj->pi", Vinv, tmp)
+        z = jnp.einsum("nij,nj->ni", W, y[prob.obs_point])    # (N,6)
+        Sx = jnp.einsum("iab,ib->ia", Ud, xm) - cam_reduce(z)
+        return Sx * free[:, None] + x * (1.0 - free)[:, None]
+
+    def precond(v):
+        return jnp.einsum("iab,ib->ia", Minv, v)
+
+    # PCG with early exit (while_loop: no wasted matvecs once converged)
+    bnorm = jnp.sqrt(jnp.sum(b * b))
+    tol = opts.linear_rtol * jnp.maximum(bnorm, 1e-30)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+
+    def cond(state):
+        k, _, r, _, _ = state
+        return (k < opts.max_linear_iterations) & \
+            (jnp.sqrt(jnp.sum(r * r)) > tol)
+
+    def body(state):
+        k, x, r, p, rz = state
+        Ap = S_mv(p)
+        pAp = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(jnp.abs(pAp) < 1e-30, 1e-30, pAp)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
+        p = z + beta * p
+        return k + 1, x, r, p, rz_new
+
+    _, dcam, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), x0, r0, p0, rz0))
+    dcam = dcam * free[:, None]
+
+    # back-substitute points: dx_p = Vinv (gp − Σ_k Wᵀ_k dcam_{i_k})
+    slot_W = W[prob.trk_obs] * tmask
+    dc_slots = dcam[prob.obs_image[prob.trk_obs]] * \
+        prob.trk_mask[..., None]
+    wtd = jnp.einsum("ptij,pti->pj", slot_W, dc_slots)
+    dpt = jnp.einsum("pij,pj->pi", Vinv, gp - wtd)
+    dpt = dpt * (~prob.const_points)[:, None].astype(dtype)
+    return dcam, dpt
+
+
 def _build_and_solve(prob: BAProblem, r, Jc, Jp, w, lam, opts: BAOptions):
     """One damped Gauss-Newton step via dense Schur complement.
 
@@ -433,6 +608,12 @@ def _build_and_solve(prob: BAProblem, r, Jc, Jp, w, lam, opts: BAOptions):
     Jc_w = Jc * sw * camfree
     Jp_w = Jp * sw * ptfree
     r_w = r * sw[..., 0]
+
+    solver = opts.solver
+    if solver == "auto":
+        solver = "iterative" if I > opts.dense_threshold else "dense"
+    if solver == "iterative":
+        return _build_and_solve_iterative(prob, r_w, Jc_w, Jp_w, lam, opts)
 
     T = prob.trk_obs.shape[1]
     N = r.shape[0]
@@ -570,6 +751,12 @@ def solve(prob: BAProblem, opts: BAOptions = BAOptions()):
 
     Returns (problem, BAStats). Jit-safe; call under jax.jit for speed.
     """
+    if opts.refine_focal:
+        # the slim scan carry below holds only (qvec, tvec, points); an
+        # accepted focal update to cam_params would be silently dropped.
+        raise NotImplementedError(
+            "refine_focal is not wired into solve(); the LM carry would "
+            "drop accepted cam_params updates")
     init_cost = _plain_cost(prob, opts)
 
     # only the optimized state rides the scan carry; the (much larger)

@@ -101,6 +101,7 @@ class IncrementalMapper:
             self.rec.add_image(rec_im)
         self._rng = np.random.default_rng(self.opts.seed)
         self._key = jax.random.PRNGKey(self.opts.seed)
+        self._last_snapshot_at = 0
         self._num_reg_at_last_global_ba = 0
         self._num_pts_at_last_global_ba = 0
         self._tried_init_pairs: set = set()
@@ -605,7 +606,7 @@ class IncrementalMapper:
         if not self.opts.snapshot_path or not self.opts.snapshot_images_freq:
             return
         n = self.rec.num_reg_images()
-        last = getattr(self, "_last_snapshot_at", 0)
+        last = self._last_snapshot_at
         if n - last < self.opts.snapshot_images_freq:
             return
         self._last_snapshot_at = n
@@ -627,6 +628,11 @@ class IncrementalMapper:
         self.triangulate_image(j0)
         self.adjust_global_bundle()
         self.filter_points()
+        # snapshot counter starts at the post-init registration count, so
+        # the init pair does not count toward snapshot_images_freq (ref
+        # incremental_mapper_controller.cc:672); also resets across
+        # repeated reconstruct() calls on the same mapper
+        self._last_snapshot_at = self.rec.num_reg_images()
 
         stall = 0
         while stall < 2:

@@ -104,3 +104,62 @@ class TestBundleAdjustment:
         ang = np.asarray(rops.rotation_angle_deg(jnp.asarray(sc.R),
                                                  jnp.asarray(R_est)))
         assert ang.max() < 0.01, ang.max()
+
+
+class TestIterativeSchur:
+    """ITERATIVE_SCHUR regime (ref bundle_adjustment.cc:273-284: large
+    scenes use SCHUR_JACOBI-preconditioned CG, S never materialized)."""
+
+    def test_matches_dense_solver(self):
+        prob, sc, _ = perturbed_problem(seed=3, num_cameras=14,
+                                        num_points=200, pixel_noise=0.4)
+        opts_d = ba.BAOptions(max_iterations=10, solver="dense")
+        opts_i = ba.BAOptions(max_iterations=10, solver="iterative",
+                              linear_rtol=1e-10)
+        outd, sd = jax.jit(lambda p: ba.solve(p, opts_d))(prob)
+        outi, si = jax.jit(lambda p: ba.solve(p, opts_i))(prob)
+        # tight CG tolerance -> same LM trajectory as the dense solve
+        np.testing.assert_allclose(float(si.final_cost),
+                                   float(sd.final_cost), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(outi.points),
+                                   np.asarray(outd.points), atol=1e-5)
+
+    def test_converges_loose_tolerance(self):
+        # production tolerance (inexact Newton) still converges
+        prob, sc, _ = perturbed_problem(seed=4, num_cameras=12,
+                                        num_points=150)
+        opts = ba.BAOptions(max_iterations=25, solver="iterative",
+                            loss="trivial", linear_rtol=1e-3)
+        out, stats = jax.jit(lambda p: ba.solve(p, opts))(prob)
+        assert float(ba.mean_reproj_error_px(out)) < 1e-3
+
+    def test_auto_picks_iterative_above_threshold(self):
+        prob, sc, _ = perturbed_problem(seed=5, num_cameras=10,
+                                        num_points=100)
+        # force tiny threshold so 'auto' routes to the iterative path
+        opts = ba.BAOptions(max_iterations=15, solver="auto",
+                            dense_threshold=4, loss="trivial")
+        out, stats = jax.jit(lambda p: ba.solve(p, opts))(prob)
+        assert float(ba.mean_reproj_error_px(out)) < 1e-3
+
+    def test_large_scene_smoke(self):
+        # 300 cameras / bounded tracks: the regime the dense solver
+        # cannot reach; checks the solver reduces cost substantially
+        spec = synthetic.SyntheticSceneSpec(
+            num_cameras=300, num_points=4000, pixel_noise=0.3, seed=7,
+            max_track_length=10)
+        sc = synthetic.generate(spec)
+        arrays = synthetic.to_scene_arrays(sc, dtype=np.float64)
+        rng = np.random.default_rng(8)
+        arrays = arrays._replace(
+            points_xyz=arrays.points_xyz
+            + rng.normal(0, 0.02, arrays.points_xyz.shape))
+        const = np.zeros(arrays.image_qvec.shape[0], bool)
+        const[:2] = True
+        prob = ba.make_problem(arrays, const_image=const)
+        opts = ba.BAOptions(max_iterations=8, solver="iterative",
+                            pinhole_only=True)
+        out, stats = jax.jit(lambda p: ba.solve(p, opts))(prob)
+        # converges to ~pixel-noise level
+        assert float(ba.mean_reproj_error_px(out)) < 0.5
+        assert float(stats.final_cost) < 0.2 * float(stats.initial_cost)
