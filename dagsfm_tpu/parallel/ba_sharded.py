@@ -30,6 +30,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dagsfm_tpu.ops import rotations as rops
@@ -59,6 +60,11 @@ class ShardedBAProblem(NamedTuple):
     obs_mask: jax.Array       # (D, Nd)
     trk_obs: jax.Array        # (D, Pd, T) — local obs index within shard
     trk_mask: jax.Array       # (D, Pd, T)
+    # camera-grouped local observation slots (dual of trk_obs): makes
+    # camera-indexed reductions gather+sum (scatter-free) — required by
+    # the matrix-free iterative-Schur matvec
+    cam_obs: jax.Array        # (D, I, Ml) local obs index within shard
+    cam_mask: jax.Array       # (D, I, Ml)
 
 
 def shard_problem(arrays, num_devices: int, max_track_len: int = 16,
@@ -97,41 +103,72 @@ def shard_problem(arrays, num_devices: int, max_track_len: int = 16,
     Nd = _b(Nd, 64)
 
     D = num_devices
+    I = arrays.image_qvec.shape[0]
+    T = max_track_len
     points = np.zeros((D, Pd, 3))
     pmask = np.zeros((D, Pd), bool)
     obs_image = np.zeros((D, Nd), np.int32)
     obs_point = np.zeros((D, Nd), np.int32)
     obs_xy = np.zeros((D, Nd, 2))
     obs_mask = np.zeros((D, Nd), bool)
-    trk_obs = np.zeros((D, Pd, max_track_len), np.int32)
-    trk_mask = np.zeros((D, Pd, max_track_len), bool)
+    trk_obs = np.zeros((D, Pd, T), np.int32)
+    trk_mask = np.zeros((D, Pd, T), bool)
 
     oi = np.asarray(arrays.obs_image)
     oxy = np.asarray(arrays.obs_xy)
+    xyz = np.asarray(arrays.points_xyz)
+    g2l = np.full(P_, -1, np.int64)
     for d in range(D):
-        local_pt = {p: k for k, p in enumerate(shard_pts[d])}
-        points[d, : len(shard_pts[d])] = \
-            np.asarray(arrays.points_xyz)[shard_pts[d]]
-        pmask[d, : len(shard_pts[d])] = True
-        fill = np.zeros(Pd, np.int32)
-        for n_local, n in enumerate(obs_by_shard[d]):
-            obs_image[d, n_local] = oi[n]
-            lp = local_pt[op[n]]
-            obs_point[d, n_local] = lp
-            obs_xy[d, n_local] = oxy[n]
-            obs_mask[d, n_local] = True
-            k = fill[lp]
-            if k < max_track_len:
-                trk_obs[d, lp, k] = n_local
-                trk_mask[d, lp, k] = True
-                fill[lp] = k + 1
-            else:
-                # overflowed track slot: drop the observation so every
-                # normal-equation block sees the same set (mirrors
-                # make_problem)
-                obs_mask[d, n_local] = False
+        npts = len(shard_pts[d])
+        g2l[shard_pts[d]] = np.arange(npts)
+        sel = obs_by_shard[d]
+        nloc = len(sel)
+        points[d, :npts] = xyz[shard_pts[d]]
+        pmask[d, :npts] = True
+        obs_image[d, :nloc] = oi[sel]
+        lp = g2l[op[sel]]
+        obs_point[d, :nloc] = lp
+        obs_xy[d, :nloc] = oxy[sel]
+        live = np.ones(nloc, bool)
+        # track slots: sort by local point, position within group;
+        # overflowing tracks decimated uniformly (mirrors make_problem)
+        order = np.argsort(lp, kind="stable")
+        lp_s = lp[order]
+        n_s = order.astype(np.int32)
+        sizes = np.bincount(lp_s, minlength=Pd)
+        starts = np.searchsorted(lp_s, np.arange(Pd))
+        pos = np.arange(nloc) - starts[lp_s]
+        sz = sizes[lp_s]
+        keep = (sz <= T) | ((pos * T) // np.maximum(sz, 1)
+                            != ((pos + 1) * T) // np.maximum(sz, 1))
+        slot = np.where(sz <= T, pos, (pos * T) // np.maximum(sz, 1))
+        fits = keep & (slot < T)
+        trk_obs[d, lp_s[fits], slot[fits]] = n_s[fits]
+        trk_mask[d, lp_s[fits], slot[fits]] = True
+        live[n_s[~fits]] = False
+        obs_mask[d, :nloc] = live
 
-    I = arrays.image_qvec.shape[0]
+    # camera-grouped local slots (common Ml across shards)
+    Ml = 8
+    for d in range(D):
+        lv = np.nonzero(obs_mask[d])[0]
+        if len(lv):
+            c = np.bincount(obs_image[d][lv], minlength=I).max()
+            Ml = max(Ml, int(-(-int(c) // 8) * 8))
+    cam_obs = np.zeros((D, I, Ml), np.int32)
+    cam_mask = np.zeros((D, I, Ml), bool)
+    for d in range(D):
+        lv = np.nonzero(obs_mask[d])[0]
+        if not len(lv):
+            continue
+        im = obs_image[d][lv]
+        order = np.argsort(im, kind="stable")
+        lv_s, im_s = lv[order], im[order]
+        starts = np.searchsorted(im_s, np.arange(I))
+        pos = np.arange(len(lv_s)) - starts[im_s]
+        cam_obs[d, im_s, pos] = lv_s
+        cam_mask[d, im_s, pos] = True
+
     if const_image is None:
         const_image = np.zeros(I, bool)
         const_image[:2] = True
@@ -147,6 +184,7 @@ def shard_problem(arrays, num_devices: int, max_track_len: int = 16,
         jnp.asarray(obs_image), jnp.asarray(obs_point),
         jnp.asarray(obs_xy, dtype), jnp.asarray(obs_mask),
         jnp.asarray(trk_obs), jnp.asarray(trk_mask),
+        jnp.asarray(cam_obs), jnp.asarray(cam_mask),
     ), shard_pts
 
 
@@ -163,35 +201,48 @@ def place(prob: ShardedBAProblem, mesh: Mesh) -> ShardedBAProblem:
     return ShardedBAProblem(**out)
 
 
-def _local_blocks(qvec, tvec, camidx, model_id, cam_params, const_image,
-                  points, obs_image, obs_point, obs_xy, obs_mask,
-                  trk_obs, trk_mask, lam, loss_scale, point_damping):
-    """Per-device: residuals, jacobians, local partial S and b + point data.
+def _local_r_J(qvec, tvec, camidx, model_id, cam_params, const_image,
+               points, obs_image, obs_point, obs_xy, obs_mask,
+               loss_scale, pinhole_only):
+    """Device-local weighted residuals + jacobians (no leading D axis).
 
-    All inputs are the device-local shard (no leading D axis).
+    Returns (r_w, Jc_w, Jp_w) with robust (Cauchy) IRLS weights and the
+    observation/const-camera masks folded in.
     """
-    I = qvec.shape[0]
     dtype = obs_xy.dtype
-
     q = qvec[obs_image]
     t = tvec[obs_image]
     cidx = camidx[obs_image]
-    mid = model_id[cidx]
-    par = cam_params[cidx]
-    X = points[obs_point]
 
     zeros6 = jnp.zeros(6, dtype)
     zeros3 = jnp.zeros(3, dtype)
     zeros2 = jnp.zeros(2, dtype)
+    X = points[obs_point]
 
-    def one(qv, tv, m, p, x, xy):
-        f = lambda dc, dp: ba._project_one(dc, dp, zeros2, qv, tv, m, p, x,
-                                           xy)
-        r = f(zeros6, zeros3)
-        Jc, Jp = jax.jacfwd(f, argnums=(0, 1))(zeros6, zeros3)
-        return r, Jc, Jp
+    if pinhole_only:
+        fpar = ba._pinhole_fparams_from(cam_params, model_id)[cidx]
 
-    r, Jc, Jp = jax.vmap(one)(q, t, mid, par, X, obs_xy)
+        def one(qv, tv, p4, x, xy):
+            f = lambda dc, dp: ba._project_one_pinhole(dc, dp, qv, tv, p4,
+                                                       x, xy)
+            r = f(zeros6, zeros3)
+            Jc, Jp = jax.jacfwd(f, argnums=(0, 1))(zeros6, zeros3)
+            return r, Jc, Jp
+
+        r, Jc, Jp = jax.vmap(one)(q, t, fpar, X, obs_xy)
+    else:
+        mid = model_id[cidx]
+        par = cam_params[cidx]
+
+        def one(qv, tv, m, p, x, xy):
+            f = lambda dc, dp: ba._project_one(dc, dp, zeros2, qv, tv, m,
+                                               p, x, xy)
+            r = f(zeros6, zeros3)
+            Jc, Jp = jax.jacfwd(f, argnums=(0, 1))(zeros6, zeros3)
+            return r, Jc, Jp
+
+        r, Jc, Jp = jax.vmap(one)(q, t, mid, par, X, obs_xy)
+
     r2 = jnp.sum(r * r, axis=-1)
     w = 1.0 / (1.0 + r2 / (loss_scale * loss_scale))        # cauchy IRLS
     wm = (w * obs_mask.astype(dtype))[:, None, None]
@@ -200,164 +251,308 @@ def _local_blocks(qvec, tvec, camidx, model_id, cam_params, const_image,
     Jc_w = Jc * sw * camfree
     Jp_w = Jp * sw
     r_w = r * sw[..., 0]
+    return r_w, Jc_w, Jp_w
 
-    # scatter-free local assembly (same design as
-    # ba._build_and_solve_matmul): camera-indexed sums ride one-hot
-    # einsums on the MXU, point-indexed sums ride track-slot gathers —
-    # no TPU scatters in the per-iteration hot path
-    E = jax.nn.one_hot(obs_image, I, dtype=dtype)               # (Nd, I)
-    U = jnp.einsum("ni,nab->iab", E,
-                   jnp.einsum("nri,nrj->nij", Jc_w, Jc_w))
-    gcn = jnp.einsum("nra,nr->na", Jc_w, r_w)
+
+def _point_blocks(r_w, Jp_w, trk_obs, trk_mask, lam, point_damping):
+    """Local V, gp, Vinv via track-slot gathers (points are shard-local)."""
+    dtype = r_w.dtype
     tm = trk_mask.astype(dtype)[..., None, None]
-    Jp_slot = Jp_w[trk_obs] * tm                                # (Pd,T,2,3)
+    Jp_slot = Jp_w[trk_obs] * tm                            # (Pd,T,2,3)
     r_slot = r_w[trk_obs] * tm[..., 0]
     V = jnp.einsum("ptri,ptrj->pij", Jp_slot, Jp_slot)
     gp = -jnp.einsum("ptri,ptr->pi", Jp_slot, r_slot)
-
     eye3 = jnp.eye(3, dtype=dtype)
     Vd = V + (lam * jnp.maximum(jnp.diagonal(V, axis1=-2, axis2=-1),
                                 1e-6)[..., None] + point_damping) * eye3
-    Vinv = ba._inv3(Vd)
+    return ba._inv3(Vd + 1e-12 * eye3), gp
 
-    W = jnp.einsum("nri,nrj->nij", Jc_w, Jp_w)                  # (Nd,6,3)
-    Y = jnp.einsum("nij,njk->nik", W, Vinv[obs_point])
-    corr = jnp.einsum("nik,nk->ni", Y, gp[obs_point])
-    b_local = -jnp.einsum("ni,na->ia", E, gcn + corr)
 
-    slot_img = obs_image[trk_obs]
+def _cam_reduce(z, cam_obs, cam_mask):
+    """(Nd, K) per-obs values -> (I, K) sums by image (gather + sum)."""
+    z_slot = z[cam_obs] * cam_mask[..., None].astype(z.dtype)
+    return jnp.sum(z_slot, axis=1)
+
+
+def _backsub_points(dcam, Vinv, gp, W, obs_image, trk_obs, trk_mask):
+    """dpt = Vinv (gp - sum_k W_k^T dcam_{i_k}) via track slots (local)."""
+    tm = trk_mask[..., None, None].astype(W.dtype)
     slot_W = W[trk_obs] * tm
-    E_slot = E[trk_obs] * tm[..., 0, 0][..., None]              # (Pd,T,I)
-    Y_slot = Y[trk_obs] * tm
-    A = jnp.einsum("pti,ptak->piak", E_slot, Y_slot)
-    B = jnp.einsum("pti,ptak->piak", E_slot, slot_W)
-    S_local = -jnp.einsum("piak,pjbk->ijab", A, B)
-    S_local = S_local.at[jnp.arange(I), jnp.arange(I)].add(U)
-
-    # damp camera diagonal locally (will psum; damping applied after psum
-    # would double-count, so scale here by nothing — move damping after)
-    cost_local = jnp.sum(jnp.where(
-        obs_mask, loss_scale ** 2 * jnp.log1p(r2 / loss_scale ** 2), 0.0))
-    return S_local, b_local, cost_local, (Vinv, slot_W, slot_img, gp)
+    dc_slots = dcam[obs_image[trk_obs]] * trk_mask[..., None]
+    wtd = jnp.einsum("ptij,pti->pj", slot_W, dc_slots)
+    return jnp.einsum("pij,pj->pi", Vinv, gp - wtd)
 
 
-def solve_sharded(prob: ShardedBAProblem, mesh: Mesh,
-                  opts: ba.BAOptions = ba.BAOptions()):
-    """LM loop with the sharded Schur step. Returns updated problem + stats.
-
-    One psum (S, b, cost) per iteration; solve replicated; point updates
-    local. Runs under a single jit over the whole LM scan.
-    """
-    from jax import shard_map
-
-    I = prob.image_qvec.shape[0]
-    dtype = prob.obs_xy.dtype
-    eyeC = jnp.eye(6, dtype=dtype)
-
+def _build_solver(mesh: Mesh, opts: ba.BAOptions, solver: str,
+                  pinhole_only: bool):
+    """Jitted sharded LM loop (cached per mesh/opts — re-running the
+    final BA per cluster or per round reuses the compiled program)."""
     spec_sh = P("d")
     spec_rep = P()
-
-    @functools.partial(
+    step_in = (spec_rep,) * 6 + (spec_sh,) * 9 + (spec_rep,)
+    shmap_step = functools.partial(
+        shard_map, mesh=mesh, in_specs=step_in,
+        out_specs=(spec_rep, spec_sh), check_vma=False)
+    shmap_cost = functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(spec_rep, spec_rep, spec_sh, spec_sh, spec_sh, spec_sh,
-                  spec_sh, spec_sh, spec_sh, spec_rep),
-        out_specs=(spec_rep, spec_rep, spec_sh),
-        check_vma=False)
-    def sharded_step(qvec, tvec, points, obs_image, obs_point, obs_xy,
-                     obs_mask, trk_obs, trk_mask, lam):
-        # shard_map passes device-local blocks with leading axis of size 1
-        points_l = points[0]
-        S_l, b_l, cost_l, (Vinv, slot_W, slot_img, gp) = _local_blocks(
-            qvec, tvec, prob.image_camidx, prob.cam_model_id,
-            prob.cam_params, prob.const_image,
-            points_l, obs_image[0], obs_point[0], obs_xy[0], obs_mask[0],
-            trk_obs[0], trk_mask[0], lam, opts.loss_scale,
-            opts.point_damping)
+        in_specs=(spec_rep,) * 5 + (spec_sh,) * 5,
+        out_specs=spec_rep, check_vma=False)
 
-        S = jax.lax.psum(S_l, "d")
-        b = jax.lax.psum(b_l, "d")
-        cost = jax.lax.psum(cost_l, "d")
-
-        # camera damping after the global sum
-        diag = jnp.maximum(jnp.diagonal(
-            S[jnp.arange(I), jnp.arange(I)], axis1=-2, axis2=-1), 1e-6)
-        S = S.at[jnp.arange(I), jnp.arange(I)].add(
-            lam * eyeC[None] * diag[..., None])
-
-        free = (~prob.const_image).astype(dtype)
-        Sm = S * free[:, None, None, None] * free[None, :, None, None]
-        Sm = Sm.at[jnp.arange(I), jnp.arange(I)].add(
-            (1.0 - free)[:, None, None] * eyeC[None])
-        bm = b * free[:, None]
-
-        Sfull = Sm.transpose(0, 2, 1, 3).reshape(I * 6, I * 6)
-        Sfull = 0.5 * (Sfull + Sfull.T) + 1e-10 * jnp.eye(I * 6, dtype=dtype)
-        L, low = jax.scipy.linalg.cho_factor(Sfull)
-        dcam = jax.scipy.linalg.cho_solve((L, low),
-                                          bm.reshape(I * 6)).reshape(I, 6)
-        dcam = dcam * free[:, None]
-
-        # local point update
-        dc_slots = dcam[slot_img] * trk_mask[0][..., None]
-        wtd = jnp.einsum("ptij,pti->pj", slot_W, dc_slots)
-        dpt = jnp.einsum("pij,pj->pi", Vinv, gp - wtd)
-        return dcam, cost, dpt[None]
-
-    def plain_cost(qvec, tvec, points):
-        @functools.partial(
-            shard_map, mesh=mesh,
-            in_specs=(spec_rep, spec_rep, spec_sh, spec_sh, spec_sh,
-                      spec_sh, spec_sh),
-            out_specs=spec_rep, check_vma=False)
-        def _cost(qv, tv, pts, oi, op, oxy, om):
-            q = qv[oi[0]]
-            t = tv[oi[0]]
-            cidx = prob.image_camidx[oi[0]]
-            mid = prob.cam_model_id[cidx]
-            par = prob.cam_params[cidx]
-            X = pts[0][op[0]]
-            Xc = rops.quat_rotate(q, X) + t
+    def plain_cost_local(qvec, tvec, camidx, model_id, cam_params,
+                         points, oi, op_, oxy, om, loss_scale):
+        q = qvec[oi]
+        t = tvec[oi]
+        cidx = camidx[oi]
+        X = points[op_]
+        Xc = rops.quat_rotate(q, X) + t
+        if pinhole_only:
+            fpar = ba._pinhole_fparams_from(cam_params, model_id)[cidx]
+            z = jnp.where(jnp.abs(Xc[:, 2]) < 1e-12, 1e-12, Xc[:, 2])
+            proj = Xc[:, :2] / z[:, None] * fpar[:, :2] + fpar[:, 2:]
+        else:
+            mid = model_id[cidx]
+            par = cam_params[cidx]
             proj = jax.vmap(cm.img_from_cam)(mid, par, Xc)
-            r = proj - oxy[0]
-            r = jnp.where((Xc[:, 2] > 1e-6)[:, None], r, 1e3)
-            r2 = jnp.sum(r * r, -1)
-            c = opts.loss_scale ** 2 * jnp.log1p(r2 / opts.loss_scale ** 2)
-            return jax.lax.psum(jnp.sum(jnp.where(om[0], c, 0.0)), "d")
-        return _cost(qvec, tvec, points, prob.obs_image, prob.obs_point,
-                     prob.obs_xy, prob.obs_mask)
+        r = proj - oxy
+        r = jnp.where((Xc[:, 2] > 1e-6)[:, None], r, 1e3)
+        r2 = jnp.sum(r * r, -1)
+        c = loss_scale ** 2 * jnp.log1p(r2 / loss_scale ** 2)
+        return jnp.sum(jnp.where(om, c, 0.0))
 
-    def lm_iter(carry, _):
-        qvec, tvec, points, lam, cost = carry
-        dcam, _, dpt = sharded_step(
-            qvec, tvec, points, prob.obs_image, prob.obs_point,
-            prob.obs_xy, prob.obs_mask, prob.trk_obs, prob.trk_mask, lam)
-        dq = rops.angleaxis_to_quat(dcam[:, :3])
-        q_new = rops.quat_normalize(rops.quat_multiply(dq, qvec))
-        t_new = tvec + dcam[:, 3:]
-        p_new = points + dpt
-        new_cost = plain_cost(q_new, t_new, p_new)
-        accept = new_cost < cost
-        qvec = jnp.where(accept, q_new, qvec)
-        tvec = jnp.where(accept, t_new, tvec)
-        points = jnp.where(accept, p_new, points)
-        cost = jnp.where(accept, new_cost, cost)
-        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-10),
-                        jnp.minimum(lam * 4.0, 1e6))
-        return (qvec, tvec, points, lam, cost), cost
+    def step_local(qvec, tvec, camidx, model_id, cam_params, const_image,
+                   points, oi, op_, oxy, om, tro, trm, co, cmk, lam):
+        """Device-local half of one damped GN step; returns psummable
+        blocks + local point data for backsubstitution."""
+        I = qvec.shape[0]
+        dtype = oxy.dtype
+        r_w, Jc_w, Jp_w = _local_r_J(
+            qvec, tvec, camidx, model_id, cam_params, const_image,
+            points, oi, op_, oxy, om, opts.loss_scale, pinhole_only)
+        Vinv, gp = _point_blocks(r_w, Jp_w, tro, trm, lam,
+                                 opts.point_damping)
+        W = jnp.einsum("nri,nrj->nij", Jc_w, Jp_w)           # (Nd,6,3)
+
+        # camera-slot (scatter-free) local partial sums
+        cmask = cmk.astype(dtype)[..., None, None]
+        Jc_slot = Jc_w[co] * cmask                           # (I,Ml,2,6)
+        rc_slot = r_w[co] * cmask[..., 0]
+        U_l = jnp.einsum("imra,imrb->iab", Jc_slot, Jc_slot)
+        gc_l = -jnp.einsum("imra,imr->ia", Jc_slot, rc_slot)
+        WVinv = jnp.einsum("nij,njk->nik", W, Vinv[op_])
+        corr_l = _cam_reduce(
+            jnp.einsum("nik,nk->ni", WVinv, gp[op_]), co, cmk)
+        return U_l, gc_l, corr_l, (W, WVinv, Vinv, gp)
+
+    def damp_and_pin(U, lam, const_image, dtype):
+        I = U.shape[0]
+        eyeC = jnp.eye(6, dtype=dtype)
+        Ud = U + lam * eyeC[None] * jnp.maximum(
+            jnp.diagonal(U, axis1=-2, axis2=-1), 1e-6)[..., None]
+        free = (~const_image).astype(dtype)
+        return Ud, free, eyeC
+
+    if solver == "dense":
+        @shmap_step
+        def sharded_step(qvec, tvec, camidx, model_id, cam_params,
+                         const_image, points, oi, op_, oxy, om, tro, trm,
+                         co, cmk, lam):
+            I = qvec.shape[0]
+            dtype = oxy.dtype
+            U_l, gc_l, corr_l, (W, WVinv, Vinv, gp) = step_local(
+                qvec, tvec, camidx, model_id, cam_params, const_image,
+                points[0], oi[0], op_[0], oxy[0], om[0], tro[0], trm[0],
+                co[0], cmk[0], lam)
+
+            # dense S: off-diagonal blocks via per-point one-hot einsums
+            # (only reachable in the small-I regime, mirroring the
+            # reference DENSE_SCHUR pick)
+            tm = trm[0][..., None, None].astype(dtype)
+            slot_img = oi[0][tro[0]]
+            slot_W = W[tro[0]] * tm
+            Y_slot = WVinv[tro[0]] * tm
+            E_slot = jax.nn.one_hot(slot_img, I, dtype=dtype) * \
+                trm[0][..., None].astype(dtype)              # (Pd,T,I)
+            A = jnp.einsum("pti,ptak->piak", E_slot, Y_slot)
+            B = jnp.einsum("pti,ptak->piak", E_slot, slot_W)
+            S_l = -jnp.einsum("piak,pjbk->ijab", A, B)
+            S_l = S_l.at[jnp.arange(I), jnp.arange(I)].add(U_l)
+
+            S, gc, corr = jax.lax.psum((S_l, gc_l, corr_l), "d")
+            b = gc - corr
+
+            eyeC = jnp.eye(6, dtype=dtype)
+            diag = jnp.maximum(jnp.diagonal(
+                S[jnp.arange(I), jnp.arange(I)], axis1=-2, axis2=-1), 1e-6)
+            S = S.at[jnp.arange(I), jnp.arange(I)].add(
+                lam * eyeC[None] * diag[..., None])
+            free = (~const_image).astype(dtype)
+            Sm = S * free[:, None, None, None] * free[None, :, None, None]
+            Sm = Sm.at[jnp.arange(I), jnp.arange(I)].add(
+                (1.0 - free)[:, None, None] * eyeC[None])
+            bm = b * free[:, None]
+            Sfull = Sm.transpose(0, 2, 1, 3).reshape(I * 6, I * 6)
+            Sfull = 0.5 * (Sfull + Sfull.T) + \
+                1e-10 * jnp.eye(I * 6, dtype=dtype)
+            L, low = jax.scipy.linalg.cho_factor(Sfull)
+            dcam = jax.scipy.linalg.cho_solve(
+                (L, low), bm.reshape(I * 6)).reshape(I, 6)
+            dcam = dcam * free[:, None]
+            dpt = _backsub_points(dcam, Vinv, gp, W, oi[0], tro[0], trm[0])
+            return dcam, dpt[None]
+    else:
+        @shmap_step
+        def sharded_step(qvec, tvec, camidx, model_id, cam_params,
+                         const_image, points, oi, op_, oxy, om, tro, trm,
+                         co, cmk, lam):
+            """ITERATIVE_SCHUR: matrix-free SCHUR_JACOBI PCG. One psum of
+            (I,6) per CG iteration rides the ICI; S never materialized."""
+            I = qvec.shape[0]
+            dtype = oxy.dtype
+            oi0, op0 = oi[0], op_[0]
+            tro0, trm0, co0, cmk0 = tro[0], trm[0], co[0], cmk[0]
+            U_l, gc_l, corr_l, (W, WVinv, Vinv, gp) = step_local(
+                qvec, tvec, camidx, model_id, cam_params, const_image,
+                points[0], oi0, op0, oxy[0], om[0], tro0, trm0,
+                co0, cmk0, lam)
+            Bblk_l = _cam_reduce(
+                jnp.einsum("nik,njk->nij", WVinv, W).reshape(-1, 36),
+                co0, cmk0).reshape(I, 6, 6)
+            U, gc, corr, Bblk = jax.lax.psum(
+                (U_l, gc_l, corr_l, Bblk_l), "d")
+
+            Ud, free, eyeC = damp_and_pin(U, lam, const_image, dtype)
+            b = (gc - corr) * free[:, None]
+            Sdiag = Ud - Bblk
+            Sdiag = Sdiag * free[:, None, None] + \
+                (1.0 - free)[:, None, None] * eyeC[None]
+            Sdiag = 0.5 * (Sdiag + jnp.swapaxes(Sdiag, -1, -2)) + \
+                1e-10 * eyeC[None]
+            Minv = jnp.linalg.solve(
+                Sdiag, jnp.broadcast_to(eyeC, Sdiag.shape))
+
+            def S_mv(x):
+                xm = x * free[:, None]
+                u = jnp.einsum("nij,ni->nj", W, xm[oi0])      # (Nd,3)
+                u_slot = u[tro0] * trm0[..., None].astype(dtype)
+                tmp = jnp.sum(u_slot, axis=1)                 # (Pd,3)
+                y = jnp.einsum("pij,pj->pi", Vinv, tmp)
+                z = jnp.einsum("nij,nj->ni", W, y[op0])       # (Nd,6)
+                zc = jax.lax.psum(_cam_reduce(z, co0, cmk0), "d")
+                Sx = jnp.einsum("iab,ib->ia", Ud, xm) - zc
+                return Sx * free[:, None] + x * (1.0 - free)[:, None]
+
+            def precond(v):
+                return jnp.einsum("iab,ib->ia", Minv, v)
+
+            bnorm = jnp.sqrt(jnp.sum(b * b))
+            tol = opts.linear_rtol * jnp.maximum(bnorm, 1e-30)
+            x0 = jnp.zeros_like(b)
+            z0 = precond(b)
+            rz0 = jnp.sum(b * z0)
+
+            def cond(st):
+                k, _, r, _, _ = st
+                return (k < opts.max_linear_iterations) & \
+                    (jnp.sqrt(jnp.sum(r * r)) > tol)
+
+            def body(st):
+                k, x, r, p, rz = st
+                Ap = S_mv(p)
+                pAp = jnp.sum(p * Ap)
+                alpha = rz / jnp.where(jnp.abs(pAp) < 1e-30, 1e-30, pAp)
+                x = x + alpha * p
+                r = r - alpha * Ap
+                z = precond(r)
+                rz_new = jnp.sum(r * z)
+                beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
+                return k + 1, x, r, z + beta * p, rz_new
+
+            _, dcam, _, _, _ = jax.lax.while_loop(
+                cond, body, (jnp.asarray(0), x0, b, z0, rz0))
+            dcam = dcam * free[:, None]
+            dpt = _backsub_points(dcam, Vinv, gp, W, oi0, tro0, trm0)
+            return dcam, dpt[None]
+
+    @shmap_cost
+    def plain_cost_sh(qvec, tvec, camidx, model_id, cam_params,
+                      points, oi, op_, oxy, om):
+        c = plain_cost_local(qvec, tvec, camidx, model_id, cam_params,
+                             points[0], oi[0], op_[0], oxy[0], om[0],
+                             opts.loss_scale)
+        return jax.lax.psum(c, "d")
 
     @jax.jit
-    def run(qvec, tvec, points):
-        cost0 = plain_cost(qvec, tvec, points)
-        lam0 = jnp.asarray(opts.init_lambda, dtype)
+    def run(qvec, tvec, camidx, model_id, cam_params, const_image,
+            points, oi, op_, oxy, om, tro, trm, co, cmk):
+        def pc(qv, tv, pts):
+            return plain_cost_sh(qv, tv, camidx, model_id, cam_params,
+                                 pts, oi, op_, oxy, om)
+
+        def lm_iter(carry, _):
+            qvec, tvec, points, lam, cost = carry
+            dcam, dpt = sharded_step(
+                qvec, tvec, camidx, model_id, cam_params, const_image,
+                points, oi, op_, oxy, om, tro, trm, co, cmk, lam)
+            dq = rops.angleaxis_to_quat(dcam[:, :3])
+            q_new = rops.quat_normalize(rops.quat_multiply(dq, qvec))
+            t_new = tvec + dcam[:, 3:]
+            p_new = points + dpt
+            new_cost = pc(q_new, t_new, p_new)
+            accept = new_cost < cost
+            qvec = jnp.where(accept, q_new, qvec)
+            tvec = jnp.where(accept, t_new, tvec)
+            points = jnp.where(accept, p_new, points)
+            cost = jnp.where(accept, new_cost, cost)
+            lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-10),
+                            jnp.minimum(lam * 4.0, 1e6))
+            return (qvec, tvec, points, lam, cost), cost
+
+        cost0 = pc(qvec, tvec, points)
+        lam0 = jnp.asarray(opts.init_lambda, oxy.dtype)
         (qv, tv, pts, lam, cost), _ = jax.lax.scan(
             lm_iter, (qvec, tvec, points, lam0, cost0), None,
             length=opts.max_iterations)
         return qv, tv, pts, cost0, cost
 
-    qv, tv, pts, c0, c1 = run(prob.image_qvec, prob.image_tvec, prob.points)
+    return run
+
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_solver(mesh: Mesh, opts: ba.BAOptions, solver: str,
+                   pinhole_only: bool):
+    return _build_solver(mesh, opts, solver, pinhole_only)
+
+
+def solve_sharded(prob: ShardedBAProblem, mesh: Mesh,
+                  opts: ba.BAOptions = ba.BAOptions(),
+                  pinhole_only: bool | None = None):
+    """LM loop with the sharded Schur step. Returns updated problem + stats.
+
+    solver regime from opts.solver ('auto' picks iterative above
+    opts.dense_threshold images, mirroring the reference's size-based
+    linear-solver selection at optim/bundle_adjustment.cc:273-284).
+    The compiled program is cached per (mesh, opts) — repeated final-BA
+    calls (one per round / cluster) do not re-trace.
+    """
+    I = prob.image_qvec.shape[0]
+    solver = opts.solver
+    if solver == "auto":
+        solver = "iterative" if I > opts.dense_threshold else "dense"
+    if pinhole_only is None:
+        pinhole_only = bool(opts.pinhole_only)
+
+    run = _cached_solver(mesh, opts, solver, pinhole_only)
+    qv, tv, pts, c0, c1 = run(
+        prob.image_qvec, prob.image_tvec, prob.image_camidx,
+        prob.cam_model_id, prob.cam_params, prob.const_image,
+        prob.points, prob.obs_image, prob.obs_point, prob.obs_xy,
+        prob.obs_mask, prob.trk_obs, prob.trk_mask,
+        prob.cam_obs, prob.cam_mask)
     stats = ba.BAStats(c0, c1, jnp.asarray(opts.max_iterations),
                        jnp.asarray(0.0))
     return prob._replace(image_qvec=qv, image_tvec=tv, points=pts), stats
+
 
 
 def gather_points(prob: ShardedBAProblem, shard_pts, total_points: int):

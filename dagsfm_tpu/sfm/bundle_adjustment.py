@@ -289,15 +289,19 @@ def _is_double_focal(model_id):
     return ~cm._is_single_focal(model_id)
 
 
-def _pinhole_fparams(prob: BAProblem):
+def _pinhole_fparams_from(cam_params, cam_model_id):
     """(C, 4) = (fx, fy, cx, cy) for pinhole-family cameras."""
-    p = prob.cam_params
-    single = ~_is_double_focal(prob.cam_model_id)
+    p = cam_params
+    single = ~_is_double_focal(cam_model_id)
     fx = p[:, 0]
     fy = jnp.where(single, p[:, 0], p[:, 1])
     cx = jnp.where(single, p[:, 1], p[:, 2])
     cy = jnp.where(single, p[:, 2], p[:, 3])
     return jnp.stack([fx, fy, cx, cy], axis=-1)
+
+
+def _pinhole_fparams(prob: BAProblem):
+    return _pinhole_fparams_from(prob.cam_params, prob.cam_model_id)
 
 
 def _residuals_and_jacobians(prob: BAProblem, refine_focal: bool,

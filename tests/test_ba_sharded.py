@@ -90,3 +90,55 @@ def test_shard_problem_structure():
         np.testing.assert_allclose(
             np.asarray(prob.points[d])[op],
             np.asarray(arrays.points_xyz)[shard_pts[d][op]])
+
+
+def test_sharded_iterative_matches_dense_sharded():
+    """ITERATIVE_SCHUR sharded regime == dense sharded regime (tight CG
+    tolerance -> identical LM trajectory)."""
+    arrays, sc = _perturbed_arrays(3)
+    mesh = make_mesh(8)
+    prob, shard_pts = ba_sharded.shard_problem(arrays, 8)
+    prob = ba_sharded.place(prob, mesh)
+    opts_d = ba.BAOptions(max_iterations=10, solver="dense")
+    opts_i = ba.BAOptions(max_iterations=10, solver="iterative",
+                          linear_rtol=1e-11)
+    outd, sd = ba_sharded.solve_sharded(prob, mesh, opts_d)
+    outi, si = ba_sharded.solve_sharded(prob, mesh, opts_i)
+    np.testing.assert_allclose(float(si.final_cost), float(sd.final_cost),
+                               rtol=1e-5, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(outi.image_tvec),
+                               np.asarray(outd.image_tvec), atol=1e-6)
+
+
+def test_sharded_iterative_large_scene():
+    """300-camera scene through the sharded iterative path on the
+    8-device mesh — the regime dense (I,I,6,6) assembly cannot reach."""
+    from dagsfm_tpu.scene import synthetic
+    spec = synthetic.SyntheticSceneSpec(
+        num_cameras=300, num_points=3000, pixel_noise=0.3, seed=9,
+        max_track_length=8)
+    sc = synthetic.generate(spec)
+    arrays = synthetic.to_scene_arrays(sc, dtype=np.float64)
+    rng = np.random.default_rng(10)
+    arrays = arrays._replace(
+        points_xyz=arrays.points_xyz
+        + rng.normal(0, 0.02, arrays.points_xyz.shape))
+    mesh = make_mesh(8)
+    prob, shard_pts = ba_sharded.shard_problem(arrays, 8)
+    prob = ba_sharded.place(prob, mesh)
+    opts = ba.BAOptions(max_iterations=8, solver="iterative",
+                        pinhole_only=True)
+    out, stats = ba_sharded.solve_sharded(prob, mesh, opts)
+    assert float(stats.final_cost) < 0.2 * float(stats.initial_cost), (
+        float(stats.initial_cost), float(stats.final_cost))
+
+
+def test_solver_cache_reuse():
+    """Repeated solve_sharded calls with the same mesh/opts reuse the
+    compiled program (no re-trace)."""
+    arrays, _ = _perturbed_arrays(4)
+    mesh = make_mesh(8)
+    opts = ba.BAOptions(max_iterations=3, solver="dense")
+    r1 = ba_sharded._cached_solver(mesh, opts, "dense", False)
+    r2 = ba_sharded._cached_solver(mesh, opts, "dense", False)
+    assert r1 is r2
