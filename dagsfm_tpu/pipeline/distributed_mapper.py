@@ -215,6 +215,15 @@ class DistributedMapperController:
                                         self.opts.mapper)
         for i in self.separators:
             mapper.triangulate_image(i)
+        # cluster merging leaves the same physical track as distinct 3D
+        # points on each side of a separator — fuse and extend them
+        # (ref triangulator Merge/Complete on the merged model)
+        sep_pts = set()
+        for i in self.separators:
+            sep_pts.update(int(p) for p in merged.images[i].point3D_ids
+                           if p >= 0)
+        mapper.complete_tracks(sorted(sep_pts))
+        mapper.merge_tracks(sep_pts)
         mapper.filter_points()
         self.timings["retriangulation"] = time.time() - t0
 

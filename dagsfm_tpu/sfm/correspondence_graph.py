@@ -24,6 +24,8 @@ class CorrespondenceGraph:
         self.pair_matches: dict[tuple, np.ndarray] = {}
         self.neighbors: dict[int, set] = {}
         self._num_corrs: dict[int, np.ndarray] = {}  # per-keypoint degree
+        # lazy per-keypoint CSR adjacency (invalidated by add_matches)
+        self._kp_adj: dict[int, tuple] = {}
 
     def add_image(self, image_id: int, num_keypoints: int) -> None:
         self.num_keypoints[image_id] = num_keypoints
@@ -44,6 +46,8 @@ class CorrespondenceGraph:
         self.neighbors[image_id2].add(image_id1)
         np.add.at(self._num_corrs[image_id1], m[:, 0], 1)
         np.add.at(self._num_corrs[image_id2], m[:, 1], 1)
+        self._kp_adj.pop(image_id1, None)
+        self._kp_adj.pop(image_id2, None)
 
     def matches_between(self, image_id1: int, image_id2: int) -> np.ndarray:
         if image_id1 <= image_id2:
@@ -87,6 +91,65 @@ class CorrespondenceGraph:
         if not rows:
             return np.zeros((0, 3), np.int64)
         return np.concatenate(rows, axis=0)
+
+    def _kp_csr(self, image_id: int):
+        """CSR over keypoints of image_id: (starts (K+1,), data (M, 2))
+        with data rows = (other_image, other_kp), grouped by keypoint."""
+        cached = self._kp_adj.get(image_id)
+        if cached is not None:
+            return cached
+        corrs = self.correspondences_of_image(image_id)
+        K = self.num_keypoints.get(image_id, 0)
+        if len(corrs) == 0:
+            out = (np.zeros(K + 1, np.int64), np.zeros((0, 2), np.int64))
+            self._kp_adj[image_id] = out
+            return out
+        order = np.argsort(corrs[:, 0], kind="stable")
+        kp_s = corrs[order, 0]
+        data = corrs[order, 1:]
+        starts = np.searchsorted(kp_s, np.arange(K + 1))
+        out = (starts, data)
+        self._kp_adj[image_id] = out
+        return out
+
+    def correspondences_of(self, image_id: int, kp: int) -> np.ndarray:
+        """(K, 2) rows of (other_image, other_kp) for one keypoint
+        (ref correspondence_graph.h FindCorrespondences)."""
+        starts, data = self._kp_csr(image_id)
+        if kp + 1 >= len(starts):
+            return np.zeros((0, 2), np.int64)
+        return data[starts[kp]: starts[kp + 1]]
+
+    def find_transitive_correspondences(self, image_id: int, kp: int,
+                                        transitivity: int = 1) -> np.ndarray:
+        """BFS to depth `transitivity` over keypoint-correspondence edges
+        (ref correspondence_graph.h:46-158 FindTransitiveCorrespondences).
+
+        Returns (K, 2) rows of (other_image, other_kp), excluding the
+        query keypoint, deduplicated, in discovery order.
+        """
+        if transitivity <= 1:
+            return self.correspondences_of(image_id, kp)
+        start = (image_id, int(kp))
+        seen = {start}
+        frontier = [start]
+        found: list = []
+        for _ in range(transitivity):
+            nxt = []
+            for (i, k) in frontier:
+                for j, kj in self.correspondences_of(i, k):
+                    node = (int(j), int(kj))
+                    if node in seen:
+                        continue
+                    seen.add(node)
+                    found.append(node)
+                    nxt.append(node)
+            if not nxt:
+                break
+            frontier = nxt
+        if not found:
+            return np.zeros((0, 2), np.int64)
+        return np.array(found, np.int64)
 
 
 def build_tracks(graph: CorrespondenceGraph, min_length: int = 2,

@@ -51,6 +51,16 @@ class MapperOptions:
     filter_min_tri_angle_deg: float = 1.5
     min_tri_angle_deg: float = 1.5
     tri_max_reproj_error_px: float = 8.0
+    # triangulator merge/complete/retriangulate thresholds (ref
+    # incremental_triangulator.h:43-90 Options: merge_max_reproj_error,
+    # complete_max_reproj_error, re_min_ratio, re_max_trials)
+    merge_max_reproj_error_px: float = 4.0
+    complete_max_reproj_error_px: float = 4.0
+    retri_min_ratio: float = 0.2
+    retri_max_trials: int = 1
+    # transitive correspondence depth when completing tracks (ref
+    # correspondence_graph.h FindTransitiveCorrespondences)
+    complete_transitivity: int = 5
     local_ba_num_images: int = 6
     ba_global_images_ratio: float = 1.1
     ba_global_points_ratio: float = 1.1
@@ -106,6 +116,7 @@ class IncrementalMapper:
         self._num_pts_at_last_global_ba = 0
         self._tried_init_pairs: set = set()
         self._failed_regs: dict = {}
+        self._merge_candidates: set = set()
 
     @classmethod
     def wrap(cls, cameras: dict, rec: Reconstruction,
@@ -124,6 +135,7 @@ class IncrementalMapper:
         self._num_pts_at_last_global_ba = rec.num_points3D()
         self._tried_init_pairs = set()
         self._failed_regs = {}
+        self._merge_candidates = set()
         return self
 
     # ------------------------------------------------------------------ utils
@@ -357,7 +369,9 @@ class IncrementalMapper:
             pid_j = self.rec.images[j].point3D_ids[kj]
             if pid_i >= 0 and pid_j >= 0:
                 if pid_i != pid_j:
-                    pass  # merge candidate — handled in merge_tracks
+                    # same physical track split across two 3D points —
+                    # queue for merge_tracks()
+                    self._merge_candidates.add(int(pid_i))
                 continue
             if pid_i < 0 and pid_j >= 0:
                 continue  # handled at registration (continue track)
@@ -412,7 +426,8 @@ class IncrementalMapper:
             created += 1
         return created
 
-    def _obs_ok(self, image_id: int, kp: int, xyz: np.ndarray) -> bool:
+    def _obs_ok(self, image_id: int, kp: int, xyz: np.ndarray,
+                max_error_px: float | None = None) -> bool:
         im = self.rec.images[image_id]
         Rcw = rops.quat_to_rotmat_np(im.qvec)
         Xc = Rcw @ xyz + im.tvec
@@ -420,7 +435,173 @@ class IncrementalMapper:
             return False
         uv = self._normalize(image_id, im.xys[kp][None])[0]
         err = np.linalg.norm(Xc[:2] / Xc[2] - uv) * self._focal(image_id)
-        return err < self.opts.tri_max_reproj_error_px
+        if max_error_px is None:
+            max_error_px = self.opts.tri_max_reproj_error_px
+        return err < max_error_px
+
+    # --------------------------- triangulator merge/complete/retriangulate
+    # (ref incremental_triangulator.h:43-90: Merge/Complete/Retriangulate)
+
+    def merge_tracks(self, point_ids=None) -> int:
+        """Fuse 3D points that are the same physical track (ref
+        IncrementalTriangulator::Merge).
+
+        Two points are merge candidates when a keypoint correspondence
+        links observations assigned to different point ids. The merged
+        position is the track-length-weighted mean; the merge is accepted
+        only if every observation of BOTH tracks reprojects within
+        merge_max_reproj_error_px.
+        """
+        if point_ids is None:
+            point_ids = set(self._merge_candidates)
+        self._merge_candidates.clear()
+        merged = 0
+        queue = list(point_ids)
+        while queue:
+            pid = queue.pop()
+            if pid not in self.rec.points3D:
+                continue
+            new_pid = self._try_merge(pid)
+            if new_pid is not None:
+                merged += 1
+                queue.append(new_pid)  # keep merging into the fused point
+        return merged
+
+    def _merge_partners(self, pid: int) -> set:
+        """Point ids linked to pid's track by keypoint correspondences."""
+        partners = set()
+        for (i, kp) in self.rec.points3D[pid].track:
+            for j, kj in self.graph.correspondences_of(int(i), int(kp)):
+                im_j = self.rec.images.get(int(j))
+                if im_j is None or not im_j.registered:
+                    continue
+                pid2 = int(im_j.point3D_ids[int(kj)])
+                if pid2 >= 0 and pid2 != pid and \
+                        pid2 in self.rec.points3D:
+                    partners.add(pid2)
+        return partners
+
+    def _try_merge(self, pid: int):
+        """Attempt to merge pid with one correspondence-linked partner.
+
+        Returns the new fused point id, or None."""
+        pt1 = self.rec.points3D[pid]
+        for pid2 in sorted(self._merge_partners(pid)):
+            pt2 = self.rec.points3D[pid2]
+            n1, n2 = len(pt1.track), len(pt2.track)
+            xyz = (n1 * pt1.xyz + n2 * pt2.xyz) / (n1 + n2)
+            track = list(pt1.track) + list(pt2.track)
+            # a fused track may not observe one image twice
+            imgs = [i for (i, _) in track]
+            if len(set(imgs)) != len(imgs):
+                continue
+            if all(self._obs_ok(int(i), int(kp), xyz,
+                                self.opts.merge_max_reproj_error_px)
+                   for (i, kp) in track):
+                self.rec.delete_point3D(pid)
+                self.rec.delete_point3D(pid2)
+                new_pid = self.rec.add_point3D(xyz, track)
+                return new_pid
+        return None
+
+    def complete_tracks(self, point_ids=None) -> int:
+        """Extend tracks transitively along keypoint correspondences
+        (ref IncrementalTriangulator::Complete): an unassigned keypoint
+        correspondence of a track member joins the track if the point
+        reprojects within complete_max_reproj_error_px.
+        """
+        if point_ids is None:
+            point_ids = list(self.rec.points3D.keys())
+        completed = 0
+        for pid in point_ids:
+            pt = self.rec.points3D.get(pid)
+            if pt is None:
+                continue
+            queue = list(pt.track)
+            depth = 0
+            while queue and depth < self.opts.complete_transitivity:
+                depth += 1
+                nxt = []
+                for (i, kp) in queue:
+                    for j, kj in self.graph.correspondences_of(
+                            int(i), int(kp)):
+                        j, kj = int(j), int(kj)
+                        im_j = self.rec.images.get(j)
+                        if im_j is None or not im_j.registered:
+                            continue
+                        if im_j.point3D_ids[kj] >= 0:
+                            continue
+                        if not self._obs_ok(
+                                j, kj, pt.xyz,
+                                self.opts.complete_max_reproj_error_px):
+                            continue
+                        self.rec.add_observation(pid, j, kj)
+                        nxt.append((j, kj))
+                        completed += 1
+                queue = nxt
+        return completed
+
+    def retriangulate(self) -> int:
+        """Re-triangulate under-reconstructed image pairs (ref
+        IncrementalTriangulator::Retriangulate): pairs whose triangulated
+        fraction is below retri_min_ratio get another create pass, at
+        most retri_max_trials times per pair.
+        """
+        if not hasattr(self, "_retri_trials"):
+            self._retri_trials = {}
+        created = 0
+        reg = set(self.rec.reg_image_ids)
+        for (i, j) in self.graph.image_pairs():
+            if i not in reg or j not in reg:
+                continue
+            m = self.graph.matches_between(i, j)
+            if len(m) == 0:
+                continue
+            pi = self.rec.images[i].point3D_ids[m[:, 0]]
+            pj = self.rec.images[j].point3D_ids[m[:, 1]]
+            tri_ratio = float(((pi >= 0) & (pi == pj)).sum()) / len(m)
+            if tri_ratio >= self.opts.retri_min_ratio:
+                continue
+            trials = self._retri_trials.get((i, j), 0)
+            if trials >= self.opts.retri_max_trials:
+                continue
+            self._retri_trials[(i, j)] = trials + 1
+            created += self._triangulate_pair(i, j, m)
+        return created
+
+    def _triangulate_pair(self, i: int, j: int, m: np.ndarray) -> int:
+        """Batched two-view create over a pair's untriangulated matches."""
+        im_i, im_j = self.rec.images[i], self.rec.images[j]
+        free = (im_i.point3D_ids[m[:, 0]] < 0) & \
+            (im_j.point3D_ids[m[:, 1]] < 0)
+        cand = m[free]
+        if len(cand) == 0:
+            return 0
+        x1 = self._normalize(i, im_i.xys[cand[:, 0]])
+        x2 = self._normalize(j, im_j.xys[cand[:, 1]])
+        n = _bucket(len(cand))
+        q1 = np.broadcast_to(im_i.qvec, (len(cand), 4))
+        t1 = np.broadcast_to(im_i.tvec, (len(cand), 3))
+        q2 = np.broadcast_to(im_j.qvec, (len(cand), 4))
+        t2 = np.broadcast_to(im_j.tvec, (len(cand), 3))
+        X = np.asarray(_triangulate_checked(
+            jnp.asarray(_pad_to(q1, n)), jnp.asarray(_pad_to(t1, n)),
+            jnp.asarray(_pad_to(q2, n)), jnp.asarray(_pad_to(t2, n)),
+            jnp.asarray(_pad_to(x1, n)), jnp.asarray(_pad_to(x2, n))))
+        X, ang, e1, e2, z1, z2 = (X[:, :3], X[:, 3], X[:, 4], X[:, 5],
+                                  X[:, 6], X[:, 7])
+        thr = self.opts.tri_max_reproj_error_px / self._focal(i)
+        good = ((ang > np.radians(self.opts.min_tri_angle_deg))
+                & (e1 < thr ** 2) & (e2 < thr ** 2)
+                & (z1 > 1e-4) & (z2 > 1e-4))[: len(cand)]
+        created = 0
+        for k in np.nonzero(good)[0]:
+            ki, kj = int(cand[k, 0]), int(cand[k, 1])
+            if im_i.point3D_ids[ki] >= 0 or im_j.point3D_ids[kj] >= 0:
+                continue
+            self.rec.add_point3D(X[k], [(i, ki), (j, kj)])
+            created += 1
+        return created
 
     # ------------------------------------------------- bundle adjustment
     def _run_ba(self, image_ids: list, max_iterations: int,
@@ -643,8 +824,20 @@ class IncrementalMapper:
             for image_id in nxt[:5]:
                 if self.register_next_image(image_id):
                     self.triangulate_image(image_id)
+                    # iterative local refinement (ref :563 + triangulator
+                    # Complete/Merge over the changed points)
+                    local_pts = [int(p) for p in
+                                 self.rec.images[image_id].point3D_ids
+                                 if p >= 0]
+                    self.complete_tracks(local_pts)
+                    self.merge_tracks()
                     self.adjust_local_bundle(image_id)
                     if self.needs_global_ba():
+                        # iterative global refinement (ref :658):
+                        # retriangulate + complete + merge, then BA
+                        self.retriangulate()
+                        self.complete_tracks()
+                        self.merge_tracks(set(self.rec.points3D.keys()))
                         self.adjust_global_bundle()
                         self.filter_points()
                     progressed = True
@@ -653,6 +846,9 @@ class IncrementalMapper:
                         callback(self)
                     break
             stall = 0 if progressed else stall + 1
+        self.retriangulate()
+        self.complete_tracks()
+        self.merge_tracks(set(self.rec.points3D.keys()))
         self.adjust_global_bundle()
         self.filter_points()
         self.adjust_global_bundle()

@@ -98,3 +98,89 @@ def test_snapshots(tmp_path):
     assert len(snaps) >= 2
     rec2 = scene_io.read_model_bin(str(tmp_path / snaps[-1]))
     assert rec2.num_reg_images() >= 4
+
+
+class TestTriangulatorOps:
+    """Merge/Complete/Retriangulate (ref incremental_triangulator.h:43-90)
+    + transitive correspondence search (ref correspondence_graph.h:46-158)."""
+
+    def _mapped_scene(self, seed=0):
+        from dagsfm_tpu.scene import synthetic
+        from dagsfm_tpu.sfm.incremental_mapper import (IncrementalMapper,
+                                                       MapperOptions)
+        spec = synthetic.SyntheticSceneSpec(
+            num_cameras=8, num_points=300, pixel_noise=0.3, seed=seed)
+        sc = synthetic.generate(spec)
+        cameras, images, graph = synthetic.to_matching_problem(sc)
+        mapper = IncrementalMapper(cameras, images, graph,
+                                   MapperOptions(seed=seed))
+        return mapper, sc
+
+    def test_transitive_correspondences(self):
+        from dagsfm_tpu.sfm.correspondence_graph import CorrespondenceGraph
+        g = CorrespondenceGraph()
+        for i in (1, 2, 3):
+            g.add_image(i, 4)
+        # chain: (1,0)-(2,1)-(3,2); plus direct (1,3)-(3,3)
+        g.add_matches(1, 2, np.array([[0, 1]], np.uint32))
+        g.add_matches(2, 3, np.array([[1, 2]], np.uint32))
+        g.add_matches(1, 3, np.array([[3, 3]], np.uint32))
+        one = g.correspondences_of(1, 0)
+        assert one.tolist() == [[2, 1]]
+        two = g.find_transitive_correspondences(1, 0, transitivity=2)
+        assert sorted(two.tolist()) == [[2, 1], [3, 2]]
+        # depth 1 == correspondences_of
+        d1 = g.find_transitive_correspondences(1, 0, transitivity=1)
+        assert d1.tolist() == [[2, 1]]
+
+    def test_merge_tracks_fuses_duplicates(self):
+        mapper, sc = self._mapped_scene(seed=2)
+        mapper.reconstruct()
+        rec = mapper.rec
+        assert rec.num_reg_images() >= 6
+        # manufacture a duplicate: split one long track into two points
+        pid = max(rec.points3D, key=lambda p: len(rec.points3D[p].track))
+        pt = rec.points3D[pid]
+        assert len(pt.track) >= 4
+        track = list(pt.track)
+        half = len(track) // 2
+        xyz = pt.xyz.copy()
+        rec.delete_point3D(pid)
+        a = rec.add_point3D(xyz + 1e-4, track[:half])
+        b = rec.add_point3D(xyz - 1e-4, track[half:])
+        n_before = rec.num_points3D()
+        merged = mapper.merge_tracks({a, b})
+        assert merged >= 1
+        assert rec.num_points3D() == n_before - merged
+        # the fused point carries the whole track
+        fused = [p for p in rec.points3D
+                 if set(rec.points3D[p].track) >= set(track)]
+        assert fused, "split track was not fused back"
+
+    def test_complete_tracks_extends(self):
+        mapper, sc = self._mapped_scene(seed=3)
+        mapper.reconstruct()
+        rec = mapper.rec
+        # drop one observation from a long track; complete must restore it
+        pid = max(rec.points3D, key=lambda p: len(rec.points3D[p].track))
+        i, kp = rec.points3D[pid].track[-1]
+        rec.delete_observation(pid, i, kp)
+        assert (i, kp) not in rec.points3D[pid].track
+        added = mapper.complete_tracks([pid])
+        assert added >= 1
+        assert (i, kp) in [(int(a), int(b))
+                           for (a, b) in rec.points3D[pid].track]
+
+    def test_retriangulate_recovers_points(self):
+        mapper, sc = self._mapped_scene(seed=4)
+        mapper.reconstruct()
+        rec = mapper.rec
+        # delete 90% of the points -> pairs drop under retri_min_ratio
+        pids = [p for k, p in enumerate(sorted(rec.points3D)) if k % 10]
+        for p in pids:
+            rec.delete_point3D(p)
+        n_before = rec.num_points3D()
+        mapper._retri_trials = {}
+        created = mapper.retriangulate()
+        assert created > 0
+        assert rec.num_points3D() == n_before + created
