@@ -78,96 +78,171 @@ def _bucket(n, m=64):
     return b
 
 
-@jax.jit
-def _h_ransac(key, x1, x2, mask, thr):
-    return rnsc.ransac(
-        key, solver=epi.homography_dlt, residual_fn=epi.homography_error,
-        data=(x1, x2), mask=mask, sample_size=4, threshold=thr,
-        num_hypotheses=256,
-        refit=lambda a, b, inl: epi.homography_dlt(a, b, mask=inl)[0][0])
+import functools
 
 
-@jax.jit
-def _f_ransac(key, x1, x2, mask, thr):
-    return rnsc.ransac(
-        key, solver=epi.fundamental_7pt, residual_fn=epi.sampson_error,
-        data=(x1, x2), mask=mask, sample_size=7, threshold=thr,
-        num_hypotheses=256,
-        refit=lambda a, b, inl: epi.fundamental_8pt(a, b, mask=inl)[0][0])
+@functools.partial(jax.jit, static_argnames=("num_hyps",))
+def _efh_batched(keys, x1, x2, p1, p2, mask, thr_n, thr_p, num_hyps):
+    """E + F + H RANSAC for a BATCH of pairs in one compiled program.
 
-
-@jax.jit
-def _e_ransac(key, x1, x2, mask, thr):
-    return rnsc.ransac(
-        key, solver=epi.essential_5pt, residual_fn=epi.sampson_error,
-        data=(x1, x2), mask=mask, sample_size=5, threshold=thr,
-        num_hypotheses=256,
-        refit=lambda a, b, inl: epi.essential_8pt(a, b, mask=inl)[0][0])
-
-
-def classify_two_view(pix1: np.ndarray, pix2: np.ndarray,
-                      K1: np.ndarray, K2: np.ndarray,
-                      image_size1: tuple, image_size2: tuple,
-                      options: TwoViewOptions = TwoViewOptions(),
-                      calibrated: bool = True,
-                      seed: int = 0) -> TwoViewResult:
-    """Full two-view estimation with model selection.
-
-    pix1/pix2 (N, 2) pixel correspondences; K1/K2 3x3 intrinsics;
-    image_size = (width, height).
+    keys (B, 2); x1/x2 (B, N, 2) normalized coords; p1/p2 (B, N, 2)
+    pixels; mask (B, N); thr_n/thr_p (B,) squared thresholds (normalized /
+    pixel). This is the production verification kernel — the reference
+    runs the same three estimations per pair inside verifier threads
+    (two_view_geometry.cc:113 + matching.cc:550-608); here all pairs and
+    all hypotheses run as one device batch.
     """
+
+    def one(key, a, b, pa, pb, m, tn, tp):
+        kE, kF, kH = jax.random.split(key, 3)
+        resE = rnsc.ransac(
+            kE, solver=epi.essential_5pt, residual_fn=epi.sampson_error,
+            data=(a, b), mask=m, sample_size=5, threshold=tn,
+            num_hypotheses=num_hyps,
+            refit=lambda u, v, inl: epi.essential_8pt(u, v, mask=inl)[0][0])
+        resF = rnsc.ransac(
+            kF, solver=epi.fundamental_7pt, residual_fn=epi.sampson_error,
+            data=(pa, pb), mask=m, sample_size=7, threshold=tp,
+            num_hypotheses=num_hyps,
+            refit=lambda u, v, inl: epi.fundamental_8pt(u, v,
+                                                        mask=inl)[0][0])
+        resH = rnsc.ransac(
+            kH, solver=epi.homography_dlt, residual_fn=epi.homography_error,
+            data=(pa, pb), mask=m, sample_size=4, threshold=tp,
+            num_hypotheses=num_hyps,
+            refit=lambda u, v, inl: epi.homography_dlt(u, v,
+                                                       mask=inl)[0][0])
+        R, t, nf = epi.pose_from_essential(resE.model, a, b, resE.inliers)
+        return (resE.model, resE.num_inliers, resE.inliers, R, t, nf,
+                resF.model, resF.num_inliers, resF.inliers,
+                resH.model, resH.num_inliers, resH.inliers)
+
+    return jax.vmap(one)(keys, x1, x2, p1, p2, mask, thr_n, thr_p)
+
+
+@jax.jit
+def _pose_from_e(E, x1, x2, inl):
+    return epi.pose_from_essential(E, x1, x2, inl)
+
+
+def classify_pairs(pair_data: list,
+                   options: TwoViewOptions = TwoViewOptions(),
+                   seed: int = 0,
+                   batch_size: int | None = None) -> dict:
+    """Full E/F/H model-selected verification over many pairs.
+
+    pair_data rows: (pair_key, pix1 (M,2), pix2 (M,2), K1, K2,
+    image_size1, image_size2, calibrated: bool).
+    Returns dict pair_key -> TwoViewResult.
+
+    Pairs are bucketed by padded correspondence count and run through
+    `_efh_batched` in device batches (batch_size pairs per compiled
+    call); model selection + pose recovery for the winning model is host
+    logic per pair. batch_size=None picks 32 on device backends and 1 on
+    CPU (XLA:CPU compile time scales badly with the pair batch dim).
+    """
+    if batch_size is None:
+        batch_size = 32 if jax.default_backend() != "cpu" else 1
+    key0 = jax.random.PRNGKey(seed)
+
+    # precompute per-pair normalized coords + thresholds, group by bucket
+    prep = []
+    for row in pair_data:
+        (pk, pix1, pix2, K1, K2, sz1, sz2, calibrated) = row
+        n = len(pix1)
+        if n < max(options.min_num_inliers, 8):
+            prep.append((pk, None))
+            continue
+        x1 = (pix1 - K1[:2, 2]) / np.array([K1[0, 0], K1[1, 1]])
+        x2 = (pix2 - K2[:2, 2]) / np.array([K2[0, 0], K2[1, 1]])
+        f_mean = (K1[0, 0] + K1[1, 1] + K2[0, 0] + K2[1, 1]) / 4.0
+        thr_n = (options.max_error_px / f_mean) ** 2
+        thr_p = options.max_error_px ** 2
+        prep.append((pk, (pix1, pix2, x1, x2, thr_n, thr_p, K1, K2,
+                          sz1, sz2, calibrated, _bucket(n))))
+
+    out = {}
+    by_bucket: dict[int, list] = {}
+    for idx, (pk, p) in enumerate(prep):
+        if p is None:
+            n0 = len(pair_data[idx][1])
+            out[pk] = TwoViewResult(DEGENERATE, None, None, None, None,
+                                    None, np.zeros(n0, bool), 0)
+        else:
+            by_bucket.setdefault(p[-1], []).append((pk, p))
+
+    keys_all = jax.random.split(key0, max(1, len(pair_data)))
+    key_idx = 0
+    for N, rows in sorted(by_bucket.items()):
+        for s in range(0, len(rows), batch_size):
+            chunk = rows[s: s + batch_size]
+            B = len(chunk)
+            x1b = np.zeros((B, N, 2))
+            x2b = np.zeros((B, N, 2))
+            p1b = np.zeros((B, N, 2))
+            p2b = np.zeros((B, N, 2))
+            mb = np.zeros((B, N), bool)
+            tnb = np.zeros(B)
+            tpb = np.zeros(B)
+            for k, (pk, p) in enumerate(chunk):
+                (pix1, pix2, x1, x2, thr_n, thr_p, *_rest) = p
+                n = len(pix1)
+                x1b[k, :n] = x1
+                x2b[k, :n] = x2
+                p1b[k, :n] = pix1
+                p2b[k, :n] = pix2
+                mb[k, :n] = True
+                tnb[k] = thr_n
+                tpb[k] = thr_p
+            keys = keys_all[key_idx: key_idx + B]
+            key_idx += B
+            res = _efh_batched(
+                keys, jnp.asarray(x1b), jnp.asarray(x2b),
+                jnp.asarray(p1b), jnp.asarray(p2b), jnp.asarray(mb),
+                jnp.asarray(tnb), jnp.asarray(tpb),
+                options.num_hypotheses)
+            res = [np.asarray(r) for r in res]
+            for k, (pk, p) in enumerate(chunk):
+                (pix1, pix2, x1, x2, thr_n, thr_p, K1, K2, sz1, sz2,
+                 calibrated, _N) = p
+                out[pk] = _select_model(
+                    pix1, pix2, x1, x2, K1, K2, sz1, sz2, calibrated,
+                    options,
+                    E=res[0][k], nE=int(res[1][k]),
+                    inlE=res[2][k][: len(pix1)],
+                    R_E=res[3][k], t_E=res[4][k], nf=int(res[5][k]),
+                    F=res[6][k], nF=int(res[7][k]),
+                    inlF=res[8][k][: len(pix1)],
+                    H=res[9][k], nH=int(res[10][k]),
+                    inlH=res[11][k][: len(pix1)])
+    return out
+
+
+def _select_model(pix1, pix2, x1, x2, K1, K2, image_size1, image_size2,
+                  calibrated, options, *, E, nE, inlE, R_E, t_E, nf,
+                  F, nF, inlF, H, nH, inlH) -> TwoViewResult:
+    """Model selection from precomputed E/F/H RANSAC results (host; ref
+    two_view_geometry.cc:113 flow incl. planar/panoramic/watermark)."""
     n = len(pix1)
-    if n < max(options.min_num_inliers, 8):
-        return TwoViewResult(DEGENERATE, None, None, None, None, None,
-                             np.zeros(n, bool), 0)
-    key = jax.random.PRNGKey(seed)
-    k1, k2, k3 = jax.random.split(key, 3)
-    N = _bucket(n)
-    mask = np.zeros(N, bool)
-    mask[:n] = True
-
-    x1 = (pix1 - K1[:2, 2]) / np.array([K1[0, 0], K1[1, 1]])
-    x2 = (pix2 - K2[:2, 2]) / np.array([K2[0, 0], K2[1, 1]])
-    f_mean = (K1[0, 0] + K1[1, 1] + K2[0, 0] + K2[1, 1]) / 4.0
-    thr_norm = (options.max_error_px / f_mean) ** 2
-    thr_pix = options.max_error_px ** 2
-
-    x1p = jnp.asarray(_pad(x1, N))
-    x2p = jnp.asarray(_pad(x2, N))
-    p1p = jnp.asarray(_pad(np.asarray(pix1, float), N))
-    p2p = jnp.asarray(_pad(np.asarray(pix2, float), N))
-    maskj = jnp.asarray(mask)
-
-    resE = _e_ransac(k1, x1p, x2p, maskj, thr_norm)
-    resF = _f_ransac(k2, p1p, p2p, maskj, thr_pix)
-    resH = _h_ransac(k3, p1p, p2p, maskj, thr_pix)
-    nE, nF, nH = (int(resE.num_inliers), int(resF.num_inliers),
-                  int(resH.num_inliers))
-
-    # model selection (ref two_view_geometry.cc:113 flow)
     if calibrated and nE >= options.min_num_inliers and nE >= nF:
-        best, num_inl, config = resE, nE, CALIBRATED
+        config, num_inl, inliers = CALIBRATED, nE, inlE
     elif nF >= options.min_num_inliers:
-        best, num_inl, config = resF, nF, UNCALIBRATED
+        config, num_inl, inliers = UNCALIBRATED, nF, inlF
     elif nH >= options.min_num_inliers:
-        best, num_inl, config = resH, nH, PLANAR_OR_PANORAMIC
+        config, num_inl, inliers = PLANAR_OR_PANORAMIC, nH, inlH
     else:
         return TwoViewResult(DEGENERATE, None, None, None, None, None,
                              np.zeros(n, bool), 0)
 
     if config in (CALIBRATED, UNCALIBRATED) and \
             nH > options.max_h_inlier_ratio * num_inl:
-        config = PLANAR_OR_PANORAMIC
-        best, num_inl = resH, nH
+        config, num_inl, inliers = PLANAR_OR_PANORAMIC, nH, inlH
 
-    inliers = np.asarray(best.inliers)[:n]
+    inliers = np.asarray(inliers, bool)
 
-    # watermark: homography that is a pure translation acting on border
-    # points (ref DetectWatermark)
+    # watermark: homography that is a pure border translation
     if options.detect_watermark and config == PLANAR_OR_PANORAMIC:
-        H = np.asarray(resH.model)
-        d = pix2[inliers[: len(pix2)]] - pix1[inliers[: len(pix1)]] \
-            if inliers.any() else np.zeros((0, 2))
+        d = pix2[inliers] - pix1[inliers]
         if len(d) >= options.min_num_inliers:
             spread = np.abs(d - d.mean(0)).mean()
             w1, h1 = image_size1
@@ -181,30 +256,53 @@ def classify_two_view(pix1: np.ndarray, pix2: np.ndarray,
                 config = WATERMARK
 
     R = t = None
-    E = F = H = None
+    E_out = F_out = H_out = None
     if config == CALIBRATED:
-        E = np.asarray(resE.model)
+        E_out = np.asarray(E)
         if options.compute_relative_pose:
-            Rj, tj, nf = epi.pose_from_essential(resE.model, x1p, x2p,
-                                                 best.inliers)
-            R, t = np.asarray(Rj), np.asarray(tj)
-        F = np.asarray(epi.fundamental_from_essential(
-            resE.model, jnp.asarray(K1), jnp.asarray(K2)))
+            R, t = np.asarray(R_E), np.asarray(t_E)
+        F_out = np.asarray(epi.fundamental_from_essential(
+            jnp.asarray(E), jnp.asarray(K1), jnp.asarray(K2)))
     elif config == UNCALIBRATED:
-        F = np.asarray(resF.model)
+        F_out = np.asarray(F)
+        if options.compute_relative_pose:
+            # pose via the F -> E upgrade with (prior) intrinsics
+            # (ref two_view_geometry.cc:169 EstimateRelativePose)
+            E_up = K2.T @ np.asarray(F) @ K1
+            N = _bucket(n)
+            Rj, tj, _nf = _pose_from_e(
+                jnp.asarray(E_up), jnp.asarray(_pad(x1, N)),
+                jnp.asarray(_pad(x2, N)),
+                jnp.asarray(_pad(inliers, N)))
+            R, t = np.asarray(Rj), np.asarray(tj)
     elif config in (PLANAR_OR_PANORAMIC, PLANAR, PANORAMIC, WATERMARK):
-        H = np.asarray(resH.model)
+        H_out = np.asarray(H)
         if options.compute_relative_pose and config != WATERMARK:
-            # pose from H in normalized coords
-            Hn = np.linalg.inv(K2) @ H @ K1
-            R, t, n_pts = pose_from_homography(Hn, x1[inliers], x2[inliers])
-            # pure rotation -> PANORAMIC, else PLANAR
-            if np.linalg.norm(t) < 1e-4:
-                config = PANORAMIC
-            else:
-                config = PLANAR
+            Hn = np.linalg.inv(K2) @ H_out @ K1
+            R, t, n_pts = pose_from_homography(Hn, x1[inliers],
+                                               x2[inliers])
+            config = PANORAMIC if np.linalg.norm(t) < 1e-4 else PLANAR
 
-    return TwoViewResult(config, E, F, H, R, t, inliers, num_inl)
+    return TwoViewResult(config, E_out, F_out, H_out, R, t, inliers,
+                         num_inl)
+
+
+def classify_two_view(pix1: np.ndarray, pix2: np.ndarray,
+                      K1: np.ndarray, K2: np.ndarray,
+                      image_size1: tuple, image_size2: tuple,
+                      options: TwoViewOptions = TwoViewOptions(),
+                      calibrated: bool = True,
+                      seed: int = 0) -> TwoViewResult:
+    """Full two-view estimation with model selection for ONE pair.
+
+    pix1/pix2 (N, 2) pixel correspondences; K1/K2 3x3 intrinsics;
+    image_size = (width, height). Thin wrapper over classify_pairs.
+    """
+    out = classify_pairs(
+        [(0, np.asarray(pix1, float), np.asarray(pix2, float), K1, K2,
+          image_size1, image_size2, calibrated)],
+        options=options, seed=seed, batch_size=1)
+    return out[0]
 
 
 def pose_from_homography(Hn: np.ndarray, x1: np.ndarray, x2: np.ndarray):

@@ -113,8 +113,11 @@ def cmd_distributed_mapper(args):
         DistributedMapperController, DistributedMapperOptions)
     from dagsfm_tpu.pipeline.feature_pipeline import FeaturePipeline
     from dagsfm_tpu.scene import io as scene_io
+    from dagsfm_tpu.pipeline.feature_pipeline import (
+        load_two_view_geometries_from_database)
     fp = FeaturePipeline({}, {}, database_path=args.database_path)
     cams, images, graph = fp.load_from_database(args.database_path)
+    two_view = load_two_view_geometries_from_database(args.database_path)
     opts = DistributedMapperOptions(
         clustering=ClusteringOptions(
             num_images_ub=args.num_images_ub,
@@ -126,7 +129,8 @@ def cmd_distributed_mapper(args):
         retriangulate=args.retriangulate,
         final_ba=args.final_ba,
     )
-    ctrl = DistributedMapperController(cams, images, graph, opts)
+    ctrl = DistributedMapperController(cams, images, graph, opts,
+                                       two_view_geometries=two_view)
     rec = ctrl.run()
     os.makedirs(args.output_path, exist_ok=True)
     scene_io.write_model_bin(rec, args.output_path)

@@ -71,10 +71,15 @@ class DistributedMapperController:
 
     def __init__(self, cameras: dict, images: dict,
                  graph: CorrespondenceGraph,
-                 options: DistributedMapperOptions | None = None):
+                 options: DistributedMapperOptions | None = None,
+                 two_view_geometries: dict | None = None):
         self.cameras = cameras
         self.images = images
         self.graph = graph
+        # optional precomputed relative poses from the matching stage:
+        # {(i, j): (R, t, num_inliers, config)} — mirrors the reference's
+        # LoadTwoviewGeometries short-circuit (:585)
+        self.two_view_geometries = two_view_geometries
         self.opts = options or DistributedMapperOptions()
         self.view_graph = ViewGraph()
         self.global_rotations: dict = {}
@@ -96,29 +101,57 @@ class DistributedMapperController:
         here we estimate it from the verified matches with the batched
         essential RANSAC (the reference estimated it during matching).
         """
-        from dagsfm_tpu.sfm.two_view import verify_pairs
         t0 = time.time()
-        helper = IncrementalMapper(self.cameras, self.images, self.graph,
-                                   self.opts.mapper)
+        if self.two_view_geometries is not None:
+            # matching stage already classified E/F/H and recovered poses
+            # (ref LoadTwoviewGeometries :585 — pose edges come from the
+            # winning model, not re-estimated)
+            from dagsfm_tpu.ops import two_view_classify as tvc
+            for (i, j), rec in self.two_view_geometries.items():
+                R, t, ninl, config = rec
+                if R is None or ninl < self.opts.min_num_matches:
+                    continue
+                if config in (tvc.DEGENERATE, tvc.WATERMARK):
+                    continue
+                self.view_graph.add_edge(TwoViewEdge(i, j, np.asarray(R),
+                                                     np.asarray(t), ninl))
+            self.timings["view_graph"] = time.time() - t0
+            return self.view_graph
+
+        # estimate from the match graph with full E/F/H model selection
+        # (ref two_view_geometry.cc:113): calibrated pairs (focal priors)
+        # go through E, unknown-focal pairs through F (+ prior-K pose
+        # upgrade), planar/panoramic through H pose recovery; watermark
+        # pairs are rejected.
+        from dagsfm_tpu.ops import two_view_classify as tvc
+        cam_of = {i: self.cameras[im.camera_id]
+                  for i, im in self.images.items()}
         pair_data = []
         for (i, j) in self.graph.image_pairs():
             m = self.graph.matches_between(i, j)
             if len(m) < self.opts.min_num_matches:
                 continue
-            x1 = helper._normalize(i, self.images[i].xys[m[:, 0]])
-            x2 = helper._normalize(j, self.images[j].xys[m[:, 1]])
-            thr = (self.opts.mapper.abs_pose_max_error_px / 3.0
-                   / helper._focal(i)) ** 2
-            pair_data.append(((i, j), x1, x2, thr))
-        results = verify_pairs(pair_data,
-                               num_hyps=self.opts.mapper
-                               .num_ransac_hypotheses,
-                               seed=self.opts.seed)
-        for (i, j), (R, t, ninl, nf, inl, valid) in results.items():
-            if not valid or ninl < self.opts.min_num_matches \
-                    or nf < self.opts.min_num_matches:
+            ci, cj = cam_of[i], cam_of[j]
+            pair_data.append((
+                (i, j), self.images[i].xys[m[:, 0]],
+                self.images[j].xys[m[:, 1]],
+                ci.calibration_matrix(), cj.calibration_matrix(),
+                (ci.width, ci.height), (cj.width, cj.height),
+                getattr(ci, "prior_focal", True)
+                and getattr(cj, "prior_focal", True)))
+        tv_opts = tvc.TwoViewOptions(
+            min_num_inliers=self.opts.min_num_matches,
+            max_error_px=self.opts.mapper.abs_pose_max_error_px / 3.0,
+            num_hypotheses=self.opts.mapper.num_ransac_hypotheses)
+        results = tvc.classify_pairs(pair_data, tv_opts,
+                                     seed=self.opts.seed)
+        for (i, j), res in results.items():
+            if res.R is None or res.num_inliers < self.opts.min_num_matches:
                 continue
-            self.view_graph.add_edge(TwoViewEdge(i, j, R, t, ninl))
+            if res.config in (tvc.DEGENERATE, tvc.WATERMARK):
+                continue
+            self.view_graph.add_edge(
+                TwoViewEdge(i, j, res.R, res.t, res.num_inliers))
         self.timings["view_graph"] = time.time() - t0
         return self.view_graph
 

@@ -32,6 +32,25 @@ from dagsfm_tpu.sfm.correspondence_graph import CorrespondenceGraph
 from dagsfm_tpu.sfm.two_view import verify_pairs
 
 
+class TwoViewRecord:
+    """Verified two-view geometry of one pair (ref TwoViewGeometry:
+    winning model config + relative pose + inlier matches)."""
+
+    __slots__ = ("R", "t", "inlier_matches", "num_inliers", "config",
+                 "E", "F", "H")
+
+    def __init__(self, R, t, inlier_matches, num_inliers, config,
+                 E=None, F=None, H=None):
+        self.R = R
+        self.t = t
+        self.inlier_matches = inlier_matches
+        self.num_inliers = num_inliers
+        self.config = config
+        self.E = E
+        self.F = F
+        self.H = H
+
+
 @dataclasses.dataclass
 class FeaturePipelineOptions:
     sift: sift.SiftOptions = dataclasses.field(default_factory=sift.SiftOptions)
@@ -114,29 +133,37 @@ class FeaturePipeline:
         self.timings["matching"] = time.time() - t0
 
         t0 = time.time()
+        from dagsfm_tpu.ops import two_view_classify as tvc
         pair_data = []
         for (i, j), m in raw.items():
             if len(m) < self.opts.min_num_inliers:
                 continue
             cam_i = self.cameras[i]
             cam_j = self.cameras[j]
-            Ki = cam_i.calibration_matrix()
-            Kj = cam_j.calibration_matrix()
-            x1 = (self.keypoints[i][m[:, 0]] - Ki[:2, 2]) \
-                / np.array([Ki[0, 0], Ki[1, 1]])
-            x2 = (self.keypoints[j][m[:, 1]] - Kj[:2, 2]) \
-                / np.array([Kj[0, 0], Kj[1, 1]])
-            thr = (self.opts.max_error_px / Ki[0, 0]) ** 2
-            pair_data.append(((i, j), x1, x2, thr))
-        results = verify_pairs(pair_data,
-                               num_hyps=self.opts.num_ransac_hypotheses,
-                               seed=self.opts.seed)
-        for (i, j), (R, t, ninl, nf, inl, valid) in results.items():
-            if not valid or ninl < self.opts.min_num_inliers:
+            pair_data.append((
+                (i, j), self.keypoints[i][m[:, 0]],
+                self.keypoints[j][m[:, 1]],
+                cam_i.calibration_matrix(), cam_j.calibration_matrix(),
+                (cam_i.width, cam_i.height), (cam_j.width, cam_j.height),
+                getattr(cam_i, "prior_focal", True)
+                and getattr(cam_j, "prior_focal", True)))
+        tv_opts = tvc.TwoViewOptions(
+            min_num_inliers=self.opts.min_num_inliers,
+            max_error_px=self.opts.max_error_px,
+            num_hypotheses=self.opts.num_ransac_hypotheses)
+        results = tvc.classify_pairs(pair_data, tv_opts,
+                                     seed=self.opts.seed)
+        for (i, j), res in results.items():
+            if res.config in (tvc.DEGENERATE, tvc.WATERMARK):
+                continue
+            if res.num_inliers < self.opts.min_num_inliers:
                 continue
             m = raw[(i, j)]
             self.matches[(i, j)] = m
-            self.two_view[(i, j)] = (R, t, m[inl], ninl)
+            self.two_view[(i, j)] = TwoViewRecord(
+                R=res.R, t=res.t, inlier_matches=m[res.inlier_mask],
+                num_inliers=res.num_inliers, config=res.config,
+                E=res.E, F=res.F, H=res.H)
         self.timings["verification"] = time.time() - t0
 
     # ------------------------------------------------------------ database
@@ -157,9 +184,11 @@ class FeaturePipeline:
                 remap_j = np.cumsum(self.masks[j]) - 1
                 mm = np.stack([remap_i[m[:, 0]], remap_j[m[:, 1]]], 1)
                 db.add_matches(i, j, mm)
-                (R, t, inl_m, ninl) = self.two_view[(i, j)]
+                rec = self.two_view[(i, j)]
+                inl_m = rec.inlier_matches
                 mi = np.stack([remap_i[inl_m[:, 0]], remap_j[inl_m[:, 1]]], 1)
-                db.add_two_view_geometry(i, j, mi, config=2)
+                db.add_two_view_geometry(i, j, mi, config=rec.config,
+                                         F=rec.F, E=rec.E, H=rec.H)
 
     @staticmethod
     def has_checkpoint(path: str | None) -> bool:
@@ -216,12 +245,80 @@ class FeaturePipeline:
                 camera_id=cam.camera_id,
                 qvec=np.array([1.0, 0, 0, 0]), tvec=np.zeros(3),
                 xys=kp, point3D_ids=np.full(len(kp), -1, np.int64))
-        for (i, j), (R, t, inl_m, ninl) in self.two_view.items():
+        for (i, j), rec in self.two_view.items():
+            inl_m = rec.inlier_matches
             remap_i = np.cumsum(self.masks[i]) - 1
             remap_j = np.cumsum(self.masks[j]) - 1
             mm = np.stack([remap_i[inl_m[:, 0]], remap_j[inl_m[:, 1]]], 1)
             graph.add_matches(i, j, mm.astype(np.uint32))
         return cam_by_id, images, graph
+
+    def two_view_edges(self) -> dict:
+        """{(i, j): (R, t, num_inliers, config)} for the controller's
+        view graph — pose edges from the WINNING two-view model (feeds
+        DistributedMapperController(two_view_geometries=...))."""
+        return {(i, j): (rec.R, rec.t, rec.num_inliers, rec.config)
+                for (i, j), rec in self.two_view.items()}
+
+
+def load_two_view_geometries_from_database(path: str) -> dict:
+    """{(i, j): (R, t, num_inliers, config)} from a checkpoint database.
+
+    Mirrors the reference's LoadTwoviewGeometries
+    (distributed_mapper_controller.cpp:585): the stored winning model
+    (E / F / H by config) is decomposed back into a relative pose using
+    the stored inlier correspondences.
+    """
+    from dagsfm_tpu.ops import two_view_classify as tvc
+
+    def _bucketed(a):
+        n = 64
+        while n < len(a):
+            n *= 2
+        out = np.zeros((n, 2))
+        out[: len(a)] = a
+        msk = np.zeros(n, bool)
+        msk[: len(a)] = True
+        return out, msk
+
+    out = {}
+    with scene_io.ColmapDatabase(path) as db:
+        cams = db.read_cameras()
+        imgs = db.read_images()
+        kps = {i: db.read_keypoints(i)[:, :2].astype(np.float64)
+               for i in imgs}
+        cam_of = {i: cams[cid] for i, (name, cid) in imgs.items()}
+        for (i, j, m, config, F, E, H) in db.read_all_two_view_geometries():
+            if len(m) < 5:
+                continue
+            Ki = cam_of[i].calibration_matrix()
+            Kj = cam_of[j].calibration_matrix()
+            p1 = kps[i][m[:, 0]]
+            p2 = kps[j][m[:, 1]]
+            x1 = (p1 - Ki[:2, 2]) / np.array([Ki[0, 0], Ki[1, 1]])
+            x2 = (p2 - Kj[:2, 2]) / np.array([Kj[0, 0], Kj[1, 1]])
+            R = t = None
+            if config == tvc.CALIBRATED and E is not None:
+                x1p, msk = _bucketed(x1)
+                x2p, _ = _bucketed(x2)
+                Rj, tj, _nf = tvc._pose_from_e(
+                    jnp.asarray(E), jnp.asarray(x1p), jnp.asarray(x2p),
+                    jnp.asarray(msk))
+                R, t = np.asarray(Rj), np.asarray(tj)
+            elif config == tvc.UNCALIBRATED and F is not None:
+                E_up = Kj.T @ np.asarray(F) @ Ki
+                x1p, msk = _bucketed(x1)
+                x2p, _ = _bucketed(x2)
+                Rj, tj, _nf = tvc._pose_from_e(
+                    jnp.asarray(E_up), jnp.asarray(x1p), jnp.asarray(x2p),
+                    jnp.asarray(msk))
+                R, t = np.asarray(Rj), np.asarray(tj)
+            elif config in (tvc.PLANAR, tvc.PANORAMIC,
+                            tvc.PLANAR_OR_PANORAMIC) and H is not None:
+                Hn = np.linalg.inv(Kj) @ np.asarray(H) @ Ki
+                R, t, _n = tvc.pose_from_homography(Hn, x1, x2)
+            out[(i, j)] = (R, t, len(m), config)
+    return out
 
 
 # ---------------------------------------------------------------------------

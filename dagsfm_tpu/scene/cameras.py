@@ -298,12 +298,19 @@ cam_from_img_batched = jax.vmap(cam_from_img, in_axes=(0, 0, 0))
 
 
 class Camera(NamedTuple):
-    """Host-side camera record (mirrors reference base/camera.h)."""
+    """Host-side camera record (mirrors reference base/camera.h).
+
+    prior_focal mirrors the reference's prior_focal_length flag (set when
+    the focal comes from EXIF rather than the 1.2*max-dim heuristic); it
+    drives E-vs-F model selection in two-view estimation
+    (ref estimators/two_view_geometry.cc:113).
+    """
     camera_id: int
     model_id: int
     width: int
     height: int
     params: tuple
+    prior_focal: bool = True
 
     @property
     def model_name(self) -> str:
@@ -326,6 +333,7 @@ def make_simple_camera(camera_id: int, width: int, height: int,
                        focal: float | None = None,
                        model: str = "SIMPLE_PINHOLE") -> Camera:
     """Default camera like the reference's prior-focal heuristic (1.2*max dim)."""
+    prior_focal = focal is not None
     if focal is None:
         focal = 1.2 * max(width, height)
     model_id = CAMERA_MODEL_IDS[model]
@@ -338,4 +346,5 @@ def make_simple_camera(camera_id: int, width: int, height: int,
         params = tuple(base + [0.0])
     else:
         raise ValueError(f"unsupported default model {model}")
-    return Camera(camera_id, model_id, width, height, params)
+    return Camera(camera_id, model_id, width, height, params,
+                  prior_focal=prior_focal)

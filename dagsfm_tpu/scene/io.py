@@ -332,8 +332,10 @@ class ColmapDatabase:
         self.close()
 
     # ------------------------------------------------------------- cameras
-    def add_camera(self, camera: cm.Camera, prior_focal: bool = False):
+    def add_camera(self, camera: cm.Camera, prior_focal: bool | None = None):
         params = np.asarray(camera.params, np.float64).tobytes()
+        if prior_focal is None:
+            prior_focal = getattr(camera, "prior_focal", False)
         self.conn.execute(
             "INSERT OR REPLACE INTO cameras VALUES (?, ?, ?, ?, ?, ?)",
             (camera.camera_id, camera.model_id, camera.width, camera.height,
@@ -341,10 +343,11 @@ class ColmapDatabase:
 
     def read_cameras(self) -> dict:
         out = {}
-        for cid, model, w, h, blob, _ in self.conn.execute(
+        for cid, model, w, h, blob, prior in self.conn.execute(
                 "SELECT * FROM cameras"):
             params = tuple(np.frombuffer(blob, np.float64).tolist())
-            out[cid] = cm.Camera(cid, model, w, h, params)
+            out[cid] = cm.Camera(cid, model, w, h, params,
+                                 prior_focal=bool(prior))
         return out
 
     # -------------------------------------------------------------- images
