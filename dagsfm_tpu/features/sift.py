@@ -38,13 +38,19 @@ import jax.numpy as jnp
 
 
 class SiftOptions(NamedTuple):
-    num_octaves: int = 4
+    # ref sift.h:44-114 defaults: num_octaves 4 (VLFeat: from image size
+    # when negative), first_octave -1 (2x upsampled base octave),
+    # max_image_size 3200, max_num_features 8192
+    num_octaves: int = 0                # 0 = derive from image size
+    first_octave: int = -1              # -1 = 2x upsampling (ref default)
+    max_image_size: int = 3200          # resize bound (applied by caller
+                                        # helpers / FeaturePipeline)
     scales_per_octave: int = 3          # ref octave_resolution 3
     sigma0: float = 1.6
     first_octave_blur: float = 0.5      # assumed input blur
     peak_threshold: float = 0.0067      # ref 0.02 / octave_resolution
     edge_threshold: float = 10.0
-    max_num_features: int = 1024        # per image (ref 8192)
+    max_num_features: int = 8192        # per image (ref 8192)
     candidates_per_octave: int = 1024
     descriptor_patch: int = 16          # sample grid (4 bins x 4 samples)
     l1_root: bool = True
@@ -193,7 +199,7 @@ def _extract_octave(gauss: jax.Array, octave: int, opts: SiftOptions):
 
     xf, yf, sigma, ori, desc, ok = jax.vmap(per_image)(
         dog, gauss, ks, ky, kx, valid)
-    scale_mult = float(2 ** octave)
+    scale_mult = 2.0 ** octave  # negative octave = upsampled base
     return (jnp.stack([xf, yf], -1) * scale_mult, sigma * scale_mult,
             ori, vals, desc, ok)
 
@@ -373,18 +379,38 @@ def _orient_and_describe(gauss_b, lvl, yf, xf, sigma, opts: SiftOptions):
 @functools.partial(jax.jit, static_argnames=("opts",))
 def extract(images: jax.Array, opts: SiftOptions = SiftOptions()
             ) -> SiftFeatures:
-    """SIFT for a batch of grayscale images (B, H, W) float32 in [0, 1]."""
+    """SIFT for a batch of grayscale images (B, H, W) float32 in [0, 1].
+
+    first_octave=-1 (the reference/COLMAP default, sift.h:44-114)
+    upsamples the image 2x for the base octave — roughly quadrupling the
+    keypoint yield on small structures; keypoint coordinates stay in the
+    ORIGINAL pixel frame.
+    """
     B, H, W = images.shape
     S = opts.scales_per_octave
     k = 2.0 ** (1.0 / S)
 
+    first_octave = min(opts.first_octave, 0)
+    img = images.astype(jnp.float32)
+    input_blur = opts.first_octave_blur
+    if first_octave < 0:
+        up = 2 ** (-first_octave)
+        img = jax.image.resize(img, (B, H * up, W * up), "linear")
+        input_blur = opts.first_octave_blur * up  # assumed blur scales up
+
     # base blur to sigma0
-    base_sigma = math.sqrt(max(opts.sigma0 ** 2
-                               - opts.first_octave_blur ** 2, 0.01))
-    img = _blur(images.astype(jnp.float32), base_sigma)
+    base_sigma = math.sqrt(max(opts.sigma0 ** 2 - input_blur ** 2, 0.01))
+    img = _blur(img, base_sigma)
+
+    # octave count from image size (VLFeat convention) unless pinned
+    if opts.num_octaves > 0:
+        n_oct = opts.num_octaves
+    else:
+        n_oct = max(1, int(math.floor(math.log2(
+            min(img.shape[1], img.shape[2])))) - 3)
 
     per_octave = []
-    for o in range(opts.num_octaves):
+    for o in range(n_oct):
         if img.shape[1] < 32 or img.shape[2] < 32:
             break
         # build S+3 gaussian levels
@@ -397,7 +423,7 @@ def extract(images: jax.Array, opts: SiftOptions = SiftOptions()
             levels.append(_blur(levels[-1], sigma_extra))
             sigma_prev = sigma_total
         gauss = jnp.stack(levels, axis=1)               # (B, S+3, h, w)
-        per_octave.append(_extract_octave(gauss, o, opts))
+        per_octave.append(_extract_octave(gauss, o + first_octave, opts))
         img = _downsample(levels[S])                    # 2x sigma0 level
 
     xy = jnp.concatenate([p[0] for p in per_octave], axis=1)
@@ -408,7 +434,7 @@ def extract(images: jax.Array, opts: SiftOptions = SiftOptions()
     ok = jnp.concatenate([p[5] for p in per_octave], axis=1)
 
     # global top-K by score among valid
-    K = opts.max_num_features
+    K = min(opts.max_num_features, int(xy.shape[1]))
     sc = jnp.where(ok, score, -1.0)
     vals, idx = jax.lax.top_k(sc, K)                    # (B, K)
     take = lambda a: jnp.take_along_axis(

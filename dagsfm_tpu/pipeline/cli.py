@@ -59,7 +59,11 @@ def cmd_feature_extractor(args):
         h, w = img.shape
         cams[i] = cm.make_simple_camera(i, w, h, model="SIMPLE_PINHOLE")
     opts = FeaturePipelineOptions()
-    opts.sift = sift.SiftOptions(max_num_features=args.max_num_features)
+    opts.sift = sift.SiftOptions(
+        max_num_features=args.max_num_features,
+        first_octave=args.first_octave,
+        num_octaves=args.num_octaves,
+        max_image_size=args.max_image_size)
     fp = FeaturePipeline(images, cams, opts, database_path=args.database_path)
     fp.extract_features()
     fp.write_database()
@@ -828,7 +832,10 @@ def build_parser() -> argparse.ArgumentParser:
     add("feature_extractor", cmd_feature_extractor, [
         ("--image_path", dict(required=True)),
         ("--database_path", dict(required=True)),
-        ("--max_num_features", dict(type=int, default=1024)),
+        ("--max_num_features", dict(type=int, default=8192)),
+        ("--first_octave", dict(type=int, default=-1)),
+        ("--num_octaves", dict(type=int, default=0)),
+        ("--max_image_size", dict(type=int, default=3200)),
     ])
     for name, fn in (("exhaustive_matcher", cmd_exhaustive_matcher),
                      ("sequential_matcher", cmd_sequential_matcher),

@@ -20,6 +20,7 @@ import time
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from dagsfm_tpu.features import matching as fm
@@ -93,14 +94,28 @@ class FeaturePipeline:
         t0 = time.time()
         ids = sorted(self.images)
         B = self.opts.batch_size
+        # max_image_size resize (ref sift.h:44: images larger than the
+        # bound are downscaled for extraction; keypoints are mapped back
+        # to the original pixel frame)
+        H, W = next(iter(self.images.values())).shape
+        max_dim = max(H, W)
+        bound = self.opts.sift.max_image_size
+        scale_back = 1.0
+        if bound > 0 and max_dim > bound:
+            scale = bound / max_dim
+            newH, newW = int(round(H * scale)), int(round(W * scale))
+            scale_back = max_dim / bound
         for s in range(0, len(ids), B):
             chunk = ids[s: s + B]
             real = len(chunk)
             while len(chunk) < B:
                 chunk = chunk + [chunk[-1]]
             batch = jnp.asarray(np.stack([self.images[i] for i in chunk]))
+            if scale_back != 1.0:
+                batch = jax.image.resize(
+                    batch, (batch.shape[0], newH, newW), "linear")
             feats = sift.extract(batch, self.opts.sift)
-            xy = np.asarray(feats.xy)
+            xy = np.asarray(feats.xy) * scale_back
             desc = np.asarray(feats.descriptor)
             mask = np.asarray(feats.mask)
             for k in range(real):

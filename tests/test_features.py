@@ -200,3 +200,61 @@ class TestGuidedMatching:
         g = np.asarray(guided)
         g = g[g[:, 0] >= 0]
         assert (g[:, 0] == g[:, 1]).mean() > 0.9
+
+
+class TestSiftReferenceParity:
+    """first_octave=-1 / auto octaves / max_image_size (ref sift.h:44-114)."""
+
+    def _image(self, H=96, W=128, seed=5):
+        rng = np.random.default_rng(seed)
+        img = rng.random((H, W)).astype(np.float32)
+        import scipy.ndimage as ndi
+        return ndi.gaussian_filter(img, 1.2).astype(np.float32)
+
+    def test_upsampled_first_octave_increases_yield(self):
+        img = self._image()
+        batch = jnp.asarray(img[None])
+        o_up = sift.SiftOptions(first_octave=-1, num_octaves=3,
+                                max_num_features=8192,
+                                candidates_per_octave=512)
+        o_no = sift.SiftOptions(first_octave=0, num_octaves=3,
+                                max_num_features=8192,
+                                candidates_per_octave=512)
+        n_up = int(np.asarray(sift.extract(batch, o_up).mask).sum())
+        n_no = int(np.asarray(sift.extract(batch, o_no).mask).sum())
+        assert n_up > 1.5 * n_no, (n_up, n_no)
+        # keypoints stay inside the ORIGINAL pixel frame
+        f = sift.extract(batch, o_up)
+        xy = np.asarray(f.xy)[0][np.asarray(f.mask)[0]]
+        assert xy[:, 0].max() < img.shape[1]
+        assert xy[:, 1].max() < img.shape[0]
+
+    def test_auto_octave_count(self):
+        # num_octaves=0 derives the pyramid depth from the image size:
+        # both shapes must run without error and yield features
+        for shape in ((64, 64), (96, 160)):
+            img = self._image(*shape)
+            o = sift.SiftOptions(num_octaves=0, first_octave=-1,
+                                 max_num_features=1024,
+                                 candidates_per_octave=256)
+            f = sift.extract(jnp.asarray(img[None]), o)
+            assert int(np.asarray(f.mask).sum()) > 0, shape
+
+    def test_max_image_size_resize_maps_back(self):
+        from dagsfm_tpu.pipeline.feature_pipeline import (
+            FeaturePipeline, FeaturePipelineOptions)
+        from dagsfm_tpu.scene import cameras as cm
+        img = self._image(128, 192)
+        opts = FeaturePipelineOptions(batch_size=1)
+        opts.sift = sift.SiftOptions(max_image_size=96, num_octaves=2,
+                                     max_num_features=512,
+                                     candidates_per_octave=256)
+        cams = {1: cm.make_simple_camera(1, 192, 128, focal=200.0)}
+        fp = FeaturePipeline({1: img}, cams, opts)
+        fp.extract_features()
+        kp = fp.keypoints[1][fp.masks[1]]
+        assert len(kp) > 0
+        # coordinates are back in the ORIGINAL (192x128) frame, and use
+        # the full extent (not clipped to the resized 96px bound)
+        assert kp[:, 0].max() > 96.0
+        assert kp[:, 0].max() < 192 and kp[:, 1].max() < 128
