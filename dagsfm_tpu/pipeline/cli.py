@@ -97,18 +97,23 @@ def cmd_vocab_tree_matcher(args):
 
 
 def cmd_mapper(args):
+    """Multi-model incremental mapping with init-trial relaxation;
+    models are written under output_path/0, /1, ... (ref mapper CLI +
+    ReconstructionManager::Write)."""
     from dagsfm_tpu.pipeline.feature_pipeline import FeaturePipeline
-    from dagsfm_tpu.scene import io as scene_io
-    from dagsfm_tpu.sfm.incremental_mapper import (IncrementalMapper,
-                                                   MapperOptions)
+    from dagsfm_tpu.sfm.mapper_controller import (ControllerOptions,
+                                                  MapperController)
     fp = FeaturePipeline({}, {}, database_path=args.database_path)
     cams, images, graph = fp.load_from_database(args.database_path)
-    mapper = IncrementalMapper(cams, images, graph, MapperOptions())
-    rec = mapper.reconstruct()
-    os.makedirs(args.output_path, exist_ok=True)
-    scene_io.write_model_bin(rec, args.output_path)
-    print(f"registered {rec.num_reg_images()}/{len(images)} images, "
-          f"{rec.num_points3D()} points -> {args.output_path}")
+    ctrl = MapperController(cams, images, graph, ControllerOptions())
+    mgr = ctrl.run()
+    mgr.write(args.output_path)
+    for k, rec in enumerate(mgr):
+        print(f"model {k}: {rec.num_reg_images()} images, "
+              f"{rec.num_points3D()} points")
+    total = sum(r.num_reg_images() for r in mgr)
+    print(f"registered {total}/{len(images)} images in {len(mgr)} "
+          f"model(s) -> {args.output_path}")
 
 
 def cmd_distributed_mapper(args):

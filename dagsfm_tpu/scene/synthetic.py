@@ -187,6 +187,71 @@ def to_reconstruction(scene: SyntheticScene,
     return rec
 
 
+def render_images(scene: SyntheticScene, sphere_radius: float | None = None,
+                  num_waves: int = 96, feature_px: float = 6.0,
+                  background: float = 0.15, seed: int = 0) -> dict:
+    """Ray-traced grayscale images of a procedurally-textured sphere
+    placed at the scene origin, viewed by the scene's cameras.
+
+    Closes the pixels->model loop the reference never tests (SURVEY §4):
+    the texture is a band-limited sum of random 3D cosine waves sampled
+    at the ray-sphere intersection, so every pixel is exactly
+    multi-view-consistent and SIFT sees smooth real-image-like texture.
+    Returns {image_id (1-based): (H, W) float32}. Ground truth for
+    accuracy checks is the CAMERA poses (pose_errors), not scene.points.
+    """
+    rng = np.random.default_rng(seed)
+    I = scene.R.shape[0]
+    H = scene.spec.image_height
+    W = scene.spec.image_width
+    fx = scene.camera.params[0]
+    cx, cy = scene.camera.params[1], scene.camera.params[2]
+    if sphere_radius is None:
+        sphere_radius = scene.spec.point_cloud_extent
+
+    # band-limited 3D texture: wavelengths spanning ~feature_px pixels
+    # at the near-surface depth
+    depth_near = max(scene.spec.ring_radius - sphere_radius, 1.0)
+    lam_mid = feature_px * depth_near / fx       # world wavelength
+    kmag = 2 * np.pi / np.exp(rng.uniform(
+        np.log(lam_mid * 0.5), np.log(lam_mid * 4.0), num_waves))
+    kdir = rng.normal(size=(num_waves, 3))
+    kdir /= np.linalg.norm(kdir, axis=1, keepdims=True)
+    kvec = kdir * kmag[:, None]                  # (M, 3)
+    phase = rng.uniform(0, 2 * np.pi, num_waves)
+    amp = rng.uniform(0.5, 1.0, num_waves) / np.sqrt(num_waves)
+
+    xs = (np.arange(W) - cx) / fx
+    ys = (np.arange(H) - cy) / fx
+    dirs_cam = np.stack([np.broadcast_to(xs[None, :], (H, W)),
+                         np.broadcast_to(ys[:, None], (H, W)),
+                         np.ones((H, W))], -1)   # (H, W, 3)
+
+    images = {}
+    C_all = scene.centers()
+    for i in range(I):
+        d = dirs_cam @ scene.R[i]                # cam->world rotation
+        C = C_all[i]
+        # |C + t d|^2 = r^2
+        dd = np.sum(d * d, axis=-1)
+        b = 2.0 * (d @ C)
+        c0 = C @ C - sphere_radius ** 2
+        disc = b * b - 4 * dd * c0
+        hit = disc > 0
+        tt = (-b - np.sqrt(np.maximum(disc, 0.0))) / (2 * dd)
+        hit &= tt > 0
+        p = C[None, None] + tt[..., None] * d    # (H, W, 3)
+        tex = np.cos(p @ kvec.T + phase) @ amp   # (H, W)
+        tex = 0.5 + 0.5 * tex / np.max(np.abs(tex))
+        # soft shading by surface normal (adds low-frequency structure)
+        nrm = p / sphere_radius
+        view = -d / np.sqrt(dd)[..., None]
+        shade = 0.6 + 0.4 * np.clip(np.sum(nrm * view, -1), 0, 1)
+        img = np.where(hit, tex * shade, background)
+        images[i + 1] = img.astype(np.float32)
+    return images
+
+
 def to_scene_arrays(scene: SyntheticScene, dtype=np.float64):
     """Direct SyntheticScene -> SceneArrays conversion (no Reconstruction
     round-trip) — bench-scale scenes (1000 cams / 500k+ obs) build in
