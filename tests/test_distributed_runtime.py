@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from dagsfm_tpu.parallel import distributed as dist
+from dagsfm_tpu.scene import synthetic
 from dagsfm_tpu.utils.observability import ProgressMonitor
 
 
@@ -117,3 +118,109 @@ def test_run_worker_end_to_end(tmp_path):
     assert merged.num_reg_images() >= 12
     errs = synthetic.pose_errors(merged, sc)
     assert errs["ate"] < 0.1, errs
+
+
+class TestTwoProcessWorkers:
+    """Genuine cross-PROCESS distribution (ref map_reduce worker_test is
+    a manual localhost harness; here it is an asserted CI test): two
+    subprocess workers contend on the shared lease dir, and an orphaned
+    lease from a dead worker is taken over."""
+
+    def _make_workspace(self, tmp_path, num_cameras=12, seed=7):
+        import numpy as np
+        from dagsfm_tpu.scene import io as scene_io
+        spec = synthetic.SyntheticSceneSpec(
+            num_cameras=num_cameras, num_points=200, pixel_noise=0.3,
+            seed=seed)
+        sc = synthetic.generate(spec)
+        cams, images, graph = synthetic.to_matching_problem(sc)
+        db = str(tmp_path / "database.db")
+        with scene_io.ColmapDatabase(db) as d:
+            d.add_camera(cams[1])
+            for i, im in sorted(images.items()):
+                d.add_image(im.name, 1, image_id=i)
+                d.add_keypoints(i, im.xys)
+            for (i, j), m in graph.pair_matches.items():
+                d.add_matches(i, j, m)
+                d.add_two_view_geometry(i, j, m, config=2)
+        wd = str(tmp_path / "work")
+        import os
+        os.makedirs(wd, exist_ok=True)
+        half = num_cameras // 2
+        clusters = [
+            {"cluster_id": 0, "image_ids": list(range(1, half + 1))},
+            {"cluster_id": 1,
+             "image_ids": list(range(half + 1, num_cameras + 1))},
+        ]
+        with open(f"{wd}/clusters.json", "w") as f:
+            json.dump(clusters, f)
+        return db, wd, clusters
+
+    def _worker_cmd(self, db, wd, host_id, lease_timeout=3600.0):
+        import sys
+        code = (
+            "import jax;"
+            "jax.config.update('jax_platforms','cpu');"
+            "jax.config.update('jax_enable_x64', True);"
+            "jax.config.update('jax_compilation_cache_dir',"
+            "'/tmp/jax_test_cache');"
+            "jax.config.update('jax_persistent_cache_min_entry_size_bytes',"
+            "-1);"
+            "jax.config.update('jax_persistent_cache_min_compile_time_secs',"
+            "0.5);"
+            "from dagsfm_tpu.pipeline.cli import main;"
+            f"main(['local_sfm_worker','--database_path','{db}',"
+            f"'--work_dir','{wd}','--host_id','{host_id}',"
+            f"'--lease_timeout','{lease_timeout}'])"
+        )
+        return [sys.executable, "-c", code]
+
+    def test_two_processes_split_the_work(self, tmp_path):
+        import os
+        import subprocess
+        db, wd, clusters = self._make_workspace(tmp_path)
+        env = dict(os.environ,
+                   XLA_FLAGS="--xla_force_host_platform_device_count=8")
+        procs = [subprocess.Popen(self._worker_cmd(db, wd, h), env=env,
+                                  stdout=subprocess.PIPE,
+                                  stderr=subprocess.STDOUT, text=True)
+                 for h in (0, 1)]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=560)
+            outs.append(out)
+            assert p.returncode == 0, out[-2000:]
+        # both partitions completed exactly once across the two processes
+        for k in range(2):
+            assert os.path.exists(
+                os.path.join(wd, f"partition{k}", "cameras.bin")), outs
+        import re
+        done_sets = []
+        for out in outs:
+            m = re.search(r"completed clusters \[(.*?)\]", out)
+            assert m, out[-2000:]
+            ids = [int(x) for x in m.group(1).split(",") if x.strip()]
+            done_sets.append(set(ids))
+        assert done_sets[0] | done_sets[1] == {0, 1}
+        assert not (done_sets[0] & done_sets[1]), done_sets
+
+    def test_orphan_lease_takeover_cross_process(self, tmp_path):
+        import os
+        import subprocess
+        import time as _time
+        db, wd, clusters = self._make_workspace(tmp_path, seed=8)
+        # a dead worker left a stale lease on cluster 0
+        os.makedirs(os.path.join(wd, "leases"), exist_ok=True)
+        with open(os.path.join(wd, "leases", "cluster0.lease"), "w") as f:
+            json.dump({"host": 99, "t_start": _time.time() - 10_000}, f)
+        env = dict(os.environ,
+                   XLA_FLAGS="--xla_force_host_platform_device_count=8")
+        p = subprocess.run(self._worker_cmd(db, wd, 1, lease_timeout=60.0),
+                           env=env, capture_output=True, text=True,
+                           timeout=560)
+        assert p.returncode == 0, p.stdout[-2000:] + p.stderr[-2000:]
+        # the stale lease was reclaimed and the job completed
+        assert os.path.exists(
+            os.path.join(wd, "partition0", "cameras.bin"))
+        assert os.path.exists(
+            os.path.join(wd, "partition1", "cameras.bin"))
