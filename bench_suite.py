@@ -134,6 +134,33 @@ def bench_matcher(results, smoke=False):
         "vs_baseline": round(B / dt / 100.0, 3)})
 
 
+def bench_mapper(results, smoke=False):
+    """Incremental mapping throughput from verified matches (host loop +
+    device kernels; the reference's per-cluster COLMAP mapper regime)."""
+    import time as _time
+    from dagsfm_tpu.scene import synthetic
+    from dagsfm_tpu.sfm.incremental_mapper import (IncrementalMapper,
+                                                   MapperOptions)
+
+    n = 24 if smoke else 100
+    spec = synthetic.SyntheticSceneSpec(
+        num_cameras=n, num_points=40 * n, pixel_noise=0.3, seed=2,
+        max_track_length=12)
+    sc = synthetic.generate(spec)
+    cams, images, graph = synthetic.to_matching_problem(sc)
+    mapper = IncrementalMapper(cams, images, graph, MapperOptions(seed=0))
+    t0 = _time.time()
+    rec = mapper.reconstruct()
+    dt = _time.time() - t0
+    reg = rec.num_reg_images()
+    # vs_baseline: COLMAP mapper ~0.5 img/s on comparable synthetic
+    # density (multicore CPU, Ceres BA dominating)
+    results.append({
+        "metric": f"mapper_images_per_s_{n}img",
+        "value": round(reg / dt, 3), "unit": "images/s",
+        "vs_baseline": round(reg / dt / 0.5, 3)})
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true",
@@ -150,16 +177,19 @@ def main():
     results = []
     if only is None or "ba" in only:
         bench_ba_dense(dtype, results)
-        print(json.dumps(results[-1]))
+        print(json.dumps(results[-1]), flush=True)
     if only is None or "ba_iter" in only:
         bench_ba_iterative(dtype, results, args.smoke)
-        print(json.dumps(results[-1]))
+        print(json.dumps(results[-1]), flush=True)
     if only is None or "sift" in only:
         bench_sift(results, args.smoke)
-        print(json.dumps(results[-1]))
+        print(json.dumps(results[-1]), flush=True)
     if only is None or "match" in only:
         bench_matcher(results, args.smoke)
-        print(json.dumps(results[-1]))
+        print(json.dumps(results[-1]), flush=True)
+    if only is None or "map" in only:
+        bench_mapper(results, args.smoke)
+        print(json.dumps(results[-1]), flush=True)
 
     with open("BENCH_SUITE.json", "w") as f:
         json.dump({"backend": jax.default_backend(),

@@ -250,32 +250,38 @@ class IncrementalMapper:
 
         Simplified VisibilityPyramid (ref base/visibility_pyramid): score =
         Σ levels of a coarse-to-fine grid hit by visible points, favouring
-        spatial spread, + count.
+        spatial spread, + count. Vectorized per (image, registered
+        neighbor) pair — no per-correspondence Python rows (the ref's
+        per-registration rescan was the scaling wall at 500+ images).
         """
         reg = set(self.rec.reg_image_ids)
         scores = []
         for i, im in self.rec.images.items():
             if im.registered or i in reg:
                 continue
-            corrs = self.graph.correspondences_of_image(i, others=reg)
-            if len(corrs) == 0:
+            vis = []
+            for j in self.graph.neighbors.get(i, ()):
+                if j not in reg:
+                    continue
+                m = self.graph.matches_between(i, j)
+                if len(m) == 0:
+                    continue
+                pid = self.rec.images[j].point3D_ids[m[:, 1]]
+                sel = m[pid >= 0, 0]
+                if len(sel):
+                    vis.append(sel)
+            if not vis:
                 continue
-            vis_kps = set()
-            for kp, j, kj in corrs:
-                pid = self.rec.images[int(j)].point3D_ids[int(kj)]
-                if pid >= 0:
-                    vis_kps.add(int(kp))
-            if not vis_kps:
-                continue
+            vis_kps = np.unique(np.concatenate(vis))
             cam = self._cam_of(i)
-            pts = self.rec.images[i].xys[sorted(vis_kps)]
-            score = len(vis_kps)
+            pts = self.rec.images[i].xys[vis_kps.astype(np.int64)]
+            score = float(len(vis_kps))
             for level in (2, 4, 8):  # pyramid levels
                 gx = np.clip((pts[:, 0] / max(cam.width, 1) * level
                               ).astype(int), 0, level - 1)
                 gy = np.clip((pts[:, 1] / max(cam.height, 1) * level
                               ).astype(int), 0, level - 1)
-                score += len(set(zip(gx.tolist(), gy.tolist()))) * level
+                score += len(np.unique(gy * level + gx)) * level
             # demote images that failed before
             score /= (1 + self._failed_regs.get(i, 0) * 2)
             scores.append((score, i))
@@ -392,10 +398,14 @@ class IncrementalMapper:
         t1 = np.broadcast_to(im_i.tvec, (len(cand), 3))
         q2 = np.stack([self.rec.images[int(j)].qvec for j in cand[:, 0]])
         t2 = np.stack([self.rec.images[int(j)].tvec for j in cand[:, 0]])
-        x2 = np.stack([
-            self._normalize(int(j), self.rec.images[int(j)].xys[int(kj)]
-                            [None])[0]
-            for j, _, kj in cand])
+        # normalize candidate keypoints grouped by image (one vectorized
+        # _normalize call per neighbor image, not per candidate)
+        x2 = np.zeros((len(cand), 2))
+        for j in np.unique(cand[:, 0]):
+            rows = np.nonzero(cand[:, 0] == j)[0]
+            kjs = cand[rows, 2].astype(np.int64)
+            x2[rows] = self._normalize(int(j),
+                                       self.rec.images[int(j)].xys[kjs])
 
         n = _bucket(len(cand))
         X = np.asarray(_triangulate_checked(
@@ -712,12 +722,17 @@ class IncrementalMapper:
                 obs_kp.append(kp)
         X = np.stack(X_list)
         oi = np.array(obs_img)
+        okp = np.array(obs_kp)
         op = np.array([pt_index[p] for p in obs_pid])
         Xc = np.einsum("nij,nj->ni", R_all[oi], X[op]) + t_all[oi]
-        uv_obs = np.stack([
-            self._normalize(img_ids[i], self.rec.images[img_ids[i]]
-                            .xys[kp][None])[0]
-            for i, kp in zip(obs_img, obs_kp)])
+        # normalize observed keypoints grouped by image (vectorized; the
+        # per-observation loop was quadratic-ish at scale)
+        uv_obs = np.zeros((len(oi), 2))
+        for k in np.unique(oi):
+            rows = np.nonzero(oi == k)[0]
+            img_id = img_ids[k]
+            uv_obs[rows] = self._normalize(
+                img_id, self.rec.images[img_id].xys[okp[rows]])
         z = Xc[:, 2]
         behind = z < 1e-4
         zs = np.where(np.abs(z) < 1e-12, 1e-12, z)
@@ -752,10 +767,15 @@ class IncrementalMapper:
                     dmask[a, b] = True
             norm = np.linalg.norm(dirs, axis=-1)
             dn = dirs / np.where(norm < 1e-12, 1.0, norm)[..., None]
-            cos = np.einsum("ptk,psk->pts", dn, dn)
-            pairm = dmask[:, :, None] & dmask[:, None, :]
-            cos = np.where(pairm, cos, 1.0)
-            min_cos = cos.min(axis=(1, 2))
+            # (chunk, T, T) pairwise cosines in bounded chunks — the full
+            # (P, T, T) tensor is a memory wall at 100k+ points
+            min_cos = np.ones(P)
+            chunk = max(1, (1 << 22) // max(T * T, 1))
+            for s in range(0, P, chunk):
+                e = min(s + chunk, P)
+                cos = np.einsum("ptk,psk->pts", dn[s:e], dn[s:e])
+                pairm = dmask[s:e, :, None] & dmask[s:e, None, :]
+                min_cos[s:e] = np.where(pairm, cos, 1.0).min(axis=(1, 2))
             max_ang = np.degrees(np.arccos(np.clip(min_cos, -1, 1)))
             for a in np.nonzero(
                     max_ang < self.opts.filter_min_tri_angle_deg)[0]:
@@ -821,30 +841,33 @@ class IncrementalMapper:
             if not nxt:
                 break
             progressed = False
+            # register up to 5 of the ranked candidates per round (the
+            # per-round re-rank was the 500+-image scaling wall; local
+            # refinement still runs per registered image)
             for image_id in nxt[:5]:
-                if self.register_next_image(image_id):
-                    self.triangulate_image(image_id)
-                    # iterative local refinement (ref :563 + triangulator
-                    # Complete/Merge over the changed points)
-                    local_pts = [int(p) for p in
-                                 self.rec.images[image_id].point3D_ids
-                                 if p >= 0]
-                    self.complete_tracks(local_pts)
-                    self.merge_tracks()
-                    self.adjust_local_bundle(image_id)
-                    if self.needs_global_ba():
-                        # iterative global refinement (ref :658):
-                        # retriangulate + complete + merge, then BA
-                        self.retriangulate()
-                        self.complete_tracks()
-                        self.merge_tracks(set(self.rec.points3D.keys()))
-                        self.adjust_global_bundle()
-                        self.filter_points()
-                    progressed = True
-                    self._maybe_snapshot()
-                    if callback is not None:
-                        callback(self)
-                    break
+                if not self.register_next_image(image_id):
+                    continue
+                self.triangulate_image(image_id)
+                # iterative local refinement (ref :563 + triangulator
+                # Complete/Merge over the changed points)
+                local_pts = [int(p) for p in
+                             self.rec.images[image_id].point3D_ids
+                             if p >= 0]
+                self.complete_tracks(local_pts)
+                self.merge_tracks()
+                self.adjust_local_bundle(image_id)
+                if self.needs_global_ba():
+                    # iterative global refinement (ref :658):
+                    # retriangulate + complete + merge, then BA
+                    self.retriangulate()
+                    self.complete_tracks()
+                    self.merge_tracks(set(self.rec.points3D.keys()))
+                    self.adjust_global_bundle()
+                    self.filter_points()
+                progressed = True
+                self._maybe_snapshot()
+                if callback is not None:
+                    callback(self)
             stall = 0 if progressed else stall + 1
         self.retriangulate()
         self.complete_tracks()
