@@ -47,16 +47,17 @@ def main():
     opts = ba.BAOptions(max_iterations=iters, loss="cauchy", loss_scale=1.0,
                         pinhole_only=ba.all_pinhole(arrays))
 
-    solve = jax.jit(lambda p: ba.solve(p, opts))
-    # compile
-    out, stats = solve(prob)
-    jax.block_until_ready(out.points)
+    # the timed value is a SCALAR fetched to host each rep — it depends
+    # on the whole LM scan, and device_get is the only sync that is
+    # reliable through the remote-TPU tunnel (block_until_ready can
+    # return before remote execution finishes)
+    solve = jax.jit(lambda p: ba.solve(p, opts)[0].points.sum())
+    float(jax.device_get(solve(prob)))  # compile
 
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        out, stats = solve(prob)
-        jax.block_until_ready(out.points)
+        out = float(jax.device_get(solve(prob)))
     dt = (time.perf_counter() - t0) / reps
 
     iters_per_s = iters / dt

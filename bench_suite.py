@@ -22,13 +22,14 @@ import numpy as np
 
 
 def _timeit(fn, reps=3):
+    """fn must return a SCALAR that depends on all benched work; it is
+    fetched to host each rep (block_until_ready alone does not reliably
+    synchronize through the remote-TPU tunnel)."""
     import jax
-    out = fn()
-    jax.block_until_ready(out)
+    float(jax.device_get(fn()))
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn()
-    jax.block_until_ready(out)
+        out = float(jax.device_get(fn()))
     return (time.perf_counter() - t0) / reps
 
 
@@ -53,7 +54,7 @@ def bench_ba_dense(dtype, results):
     opts = ba.BAOptions(max_iterations=iters, loss="cauchy",
                         loss_scale=1.0, pinhole_only=ba.all_pinhole(arrays))
     solve = jax.jit(lambda p: ba.solve(p, opts))
-    dt = _timeit(lambda: solve(prob)[0].points)
+    dt = _timeit(lambda: solve(prob)[0].points.sum())
     results.append({
         "metric": "ba_lm_iters_per_s_100cam_37kobs",
         "value": round(iters / dt, 3), "unit": "iters/s",
@@ -83,7 +84,7 @@ def bench_ba_iterative(dtype, results, smoke=False):
     opts = ba.BAOptions(max_iterations=iters, solver="iterative",
                         pinhole_only=True)
     solve = jax.jit(lambda p: ba.solve(p, opts))
-    dt = _timeit(lambda: solve(prob)[0].points)
+    dt = _timeit(lambda: solve(prob)[0].points.sum())
     results.append({
         "metric": f"ba_iterative_lm_iters_per_s_{ncam}cam_{nobs//1000}kobs",
         "value": round(iters / dt, 3), "unit": "iters/s",
@@ -103,7 +104,7 @@ def bench_sift(results, smoke=False):
     opts = sift.SiftOptions(max_num_features=2048,
                             candidates_per_octave=1024)
     batch = jnp.asarray(imgs)
-    dt = _timeit(lambda: sift.extract(batch, opts).xy)
+    dt = _timeit(lambda: (lambda f: f.xy.sum() + f.descriptor.sum())(sift.extract(batch, opts)))
     results.append({
         "metric": f"sift_images_per_s_{W}x{H}_fo-1",
         "value": round(B / dt, 3), "unit": "images/s",
@@ -127,7 +128,7 @@ def bench_matcher(results, smoke=False):
     d1 = jnp.asarray(d[:, 0])
     d2 = jnp.asarray(d[:, 1])
     mj = jnp.asarray(m)
-    dt = _timeit(lambda: run(d1, d2, mj, mj))
+    dt = _timeit(lambda: run(d1, d2, mj, mj)[0].sum())
     results.append({
         "metric": f"match_pairs_per_s_{K}x{K}desc",
         "value": round(B / dt, 3), "unit": "pairs/s",

@@ -79,17 +79,26 @@ def _gauss_kernel1d(sigma: float, radius: int) -> np.ndarray:
 
 
 def _blur(img: jax.Array, sigma: float) -> jax.Array:
-    """Separable Gaussian blur for (B, H, W)."""
+    """Separable Gaussian blur for (B, H, W).
+
+    Implemented as static shifted-slice multiply-adds instead of
+    conv_general_dilated: a (B, 1, H, W) single-channel conv makes
+    XLA:TPU tile the (B, C) dims — a 128x layout-padding blowup that
+    OOMs on upsampled pyramids. Shifted adds keep the clean (H, W)
+    minor-dims layout and fuse into one VPU loop.
+    """
     radius = max(1, int(math.ceil(3.0 * sigma)))
-    k = jnp.asarray(_gauss_kernel1d(sigma, radius))
-    x = img[:, None]  # (B, 1, H, W)
-    kx = k.reshape(1, 1, 1, -1)
-    ky = k.reshape(1, 1, -1, 1)
-    x = jax.lax.conv_general_dilated(x, kx, (1, 1),
-                                     [(0, 0), (radius, radius)])
-    x = jax.lax.conv_general_dilated(x, ky, (1, 1),
-                                     [(radius, radius), (0, 0)])
-    return x[:, 0]
+    k = _gauss_kernel1d(sigma, radius)
+    B, H, W = img.shape
+    xp = jnp.pad(img, ((0, 0), (0, 0), (radius, radius)))
+    out = k[0] * xp[:, :, 0:W]
+    for i in range(1, 2 * radius + 1):
+        out = out + k[i] * xp[:, :, i:i + W]
+    xp = jnp.pad(out, ((0, 0), (radius, radius), (0, 0)))
+    out = k[0] * xp[:, 0:H, :]
+    for i in range(1, 2 * radius + 1):
+        out = out + k[i] * xp[:, i:i + H, :]
+    return out
 
 
 def _downsample(img: jax.Array) -> jax.Array:
@@ -107,6 +116,28 @@ def _bilinear(img: jax.Array, y: jax.Array, x: jax.Array) -> jax.Array:
     v01 = img[y0, x0 + 1]
     v10 = img[y0 + 1, x0]
     v11 = img[y0 + 1, x0 + 1]
+    return (v00 * (1 - dy) * (1 - dx) + v01 * (1 - dy) * dx
+            + v10 * dy * (1 - dx) + v11 * dy * dx)
+
+
+def _bilinear_lvl(gauss: jax.Array, lvl: jax.Array, y: jax.Array,
+                  x: jax.Array) -> jax.Array:
+    """Bilinear sample of level `lvl` of a (NS, H, W) stack.
+
+    The level index is FUSED into the gather: `gauss[lvl][y, x]` under a
+    per-keypoint vmap would materialize a (K, H, W) copy of the pyramid
+    level (a 40GB intermediate at 8192 keypoints on upsampled images —
+    a real TPU OOM); `gauss[lvl, y, x]` is one small gather per sample.
+    """
+    NS, H, W = gauss.shape
+    y0 = jnp.clip(jnp.floor(y), 0, H - 2).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(x), 0, W - 2).astype(jnp.int32)
+    dy = jnp.clip(y - y0, 0.0, 1.0)
+    dx = jnp.clip(x - x0, 0.0, 1.0)
+    v00 = gauss[lvl, y0, x0]
+    v01 = gauss[lvl, y0, x0 + 1]
+    v10 = gauss[lvl, y0 + 1, x0]
+    v11 = gauss[lvl, y0 + 1, x0 + 1]
     return (v00 * (1 - dy) * (1 - dx) + v01 * (1 - dy) * dx
             + v10 * dy * (1 - dx) + v11 * dy * dx)
 
@@ -211,19 +242,15 @@ def _orient_and_describe(gauss_b, lvl, yf, xf, sigma, opts: SiftOptions):
     K = yf.shape[0]
     P = opts.descriptor_patch
 
-    def img_at(lvl):  # gather the right gaussian level per keypoint
-        return gauss_b[lvl]                              # (H, W)
-
     # --- orientation: 36-bin histogram over a square window ~ r=4 sigma
     nb = 8  # half-window samples
     grid = jnp.arange(-nb, nb + 1, dtype=jnp.float32)    # 17
 
     def orient_one(lvl, y, x, s):
-        img = img_at(lvl)
         step = 1.5 * s / nb * 3.0
         ys = y + grid[:, None] * step
         xs = x + grid[None, :] * step
-        v = _bilinear(img, ys, xs)                       # (17, 17)
+        v = _bilinear_lvl(gauss_b, lvl, ys, xs)          # (17, 17)
         gy = jnp.gradient(v, axis=0)
         gx = jnp.gradient(v, axis=1)
         mag = jnp.sqrt(gx * gx + gy * gy)
@@ -257,11 +284,10 @@ def _orient_and_describe(gauss_b, lvl, yf, xf, sigma, opts: SiftOptions):
     # warped by M^{-1/2} (normalized to unit det) around the keypoint
     if opts.estimate_affine_shape:
         def affine_one(lvl, y, x, s):
-            img = img_at(lvl)
             step = 1.5 * s / nb * 2.0
             ys = y + grid[:, None] * step
             xs = x + grid[None, :] * step
-            v = _bilinear(img, ys, xs)
+            v = _bilinear_lvl(gauss_b, lvl, ys, xs)
             gy = jnp.gradient(v, axis=0)
             gx = jnp.gradient(v, axis=1)
             w = jnp.exp(-(grid[:, None] ** 2 + grid[None, :] ** 2)
@@ -300,7 +326,6 @@ def _orient_and_describe(gauss_b, lvl, yf, xf, sigma, opts: SiftOptions):
     gg = (jnp.arange(P, dtype=jnp.float32) - half + 0.5) / half  # [-1,1)
 
     def desc_one(lvl, y, x, s, th, A):
-        img = img_at(lvl)
         ct = jnp.cos(th)
         st = jnp.sin(th)
         # patch extent: 4 bins * 3 sigma per bin / 2 = 6 sigma half-width
@@ -312,7 +337,7 @@ def _orient_and_describe(gauss_b, lvl, yf, xf, sigma, opts: SiftOptions):
         ux = u * st + v * ct
         ys = y + A[0, 0] * uy + A[0, 1] * ux
         xs = x + A[1, 0] * uy + A[1, 1] * ux
-        val = _bilinear(img, ys, xs)                     # (P, P)
+        val = _bilinear_lvl(gauss_b, lvl, ys, xs)        # (P, P)
         gy = jnp.gradient(val, axis=0)
         gx = jnp.gradient(val, axis=1)
         mag = jnp.sqrt(gx * gx + gy * gy)
