@@ -259,8 +259,9 @@ def _orient_and_describe(gauss_b, lvl, yf, xf, sigma, opts: SiftOptions):
         ang = jnp.arctan2(gy, gx)
         bins = jnp.floor((ang + jnp.pi) / (2 * jnp.pi) * 36).astype(
             jnp.int32) % 36
-        hist = jax.ops.segment_sum((mag * w).reshape(-1),
-                                   bins.reshape(-1), 36)
+        # scatter-free histogram: one-hot matmul (vmapped -> MXU batch)
+        hist = jnp.einsum("s,sb->b", (mag * w).reshape(-1),
+                          jax.nn.one_hot(bins.reshape(-1), 36))
         # circular smooth x2
         for _ in range(2):
             hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
@@ -321,9 +322,39 @@ def _orient_and_describe(gauss_b, lvl, yf, xf, sigma, opts: SiftOptions):
     else:
         Aff = jnp.broadcast_to(jnp.eye(2), (K, 2, 2))
 
-    # --- descriptor: 4x4 spatial bins x 8 orientation bins
+    # --- descriptor: 4x4 spatial bins x 8 orientation bins.
+    # The spatial-bin soft weights depend only on the FIXED sample grid,
+    # so trilinear binning factorizes into descriptor = Sᵀ·diag(mag)·O:
+    # S (P², 16) is a CONSTANT spatial-weight matrix, O (P², 8) the
+    # data-dependent orientation-weight matrix — one small MXU matmul
+    # per keypoint instead of 8 scatter-add passes (TPU scatters
+    # serialize and bloat the HLO).
     half = P / 2.0
     gg = (jnp.arange(P, dtype=jnp.float32) - half + 0.5) / half  # [-1,1)
+
+    def _spatial_weight_matrix():
+        gg_np = ((np.arange(P, dtype=np.float32) - half + 0.5) / half)
+        by = np.broadcast_to(
+            ((gg_np[:, None] + 1.0) * 2.0 - 0.5), (P, P))
+        bx = np.broadcast_to(
+            ((gg_np[None, :] + 1.0) * 2.0 - 0.5), (P, P))
+        S = np.zeros((P * P, 16), np.float32)
+        y0 = np.floor(by)
+        x0 = np.floor(bx)
+        for dyy in (0, 1):
+            for dxx in (0, 1):
+                yy = y0 + dyy
+                xx = x0 + dxx
+                w = (1 - np.abs(by - yy)) * (1 - np.abs(bx - xx))
+                ok = (yy >= 0) & (yy < 4) & (xx >= 0) & (xx < 4)
+                lin = (np.clip(yy, 0, 3) * 4 + np.clip(xx, 0, 3))
+                np.add.at(S, (np.arange(P * P),
+                              lin.astype(np.int64).reshape(-1)),
+                          np.where(ok, w, 0.0).reshape(-1))
+        return jnp.asarray(S)
+
+    S_mat = _spatial_weight_matrix()                     # (P², 16) const
+    w_gauss = jnp.exp(-(gg[:, None] ** 2 + gg[None, :] ** 2) / (2 * 0.5))
 
     def desc_one(lvl, y, x, s, th, A):
         ct = jnp.cos(th)
@@ -340,38 +371,17 @@ def _orient_and_describe(gauss_b, lvl, yf, xf, sigma, opts: SiftOptions):
         val = _bilinear_lvl(gauss_b, lvl, ys, xs)        # (P, P)
         gy = jnp.gradient(val, axis=0)
         gx = jnp.gradient(val, axis=1)
-        mag = jnp.sqrt(gx * gx + gy * gy)
+        mag = (jnp.sqrt(gx * gx + gy * gy) * w_gauss).reshape(-1)
         ang = jnp.arctan2(gy, gx) - th
-        w = jnp.exp(-(gg[:, None] ** 2 + gg[None, :] ** 2) / (2 * 0.5))
-        mag = mag * w
-        # spatial bin coords in [0, 4)
-        by = (gg[:, None] + 1.0) * 2.0 - 0.5             # (P,1) in [-.5,3.5)
-        bx = (gg[None, :] + 1.0) * 2.0 - 0.5
-        by = jnp.broadcast_to(by, (P, P))
-        bx = jnp.broadcast_to(bx, (P, P))
-        ob = (ang + 2 * jnp.pi) % (2 * jnp.pi) / (2 * jnp.pi) * 8.0
-        # trilinear soft binning
-        out = jnp.zeros(128)
-        y0 = jnp.floor(by)
-        x0 = jnp.floor(bx)
+        ob = ((ang + 2 * jnp.pi) % (2 * jnp.pi) / (2 * jnp.pi)
+              * 8.0).reshape(-1)
         o0 = jnp.floor(ob)
-        for dyy in (0, 1):
-            for dxx in (0, 1):
-                for doo in (0, 1):
-                    yy = y0 + dyy
-                    xx = x0 + dxx
-                    oo = (o0 + doo) % 8
-                    wgt = mag * \
-                        (1 - jnp.abs(by - yy)) * \
-                        (1 - jnp.abs(bx - xx)) * \
-                        (1 - jnp.abs(ob - (o0 + doo)))
-                    okb = (yy >= 0) & (yy < 4) & (xx >= 0) & (xx < 4) & \
-                        (wgt > 0)
-                    lin = (jnp.clip(yy, 0, 3) * 4 + jnp.clip(xx, 0, 3)) \
-                        * 8 + oo
-                    out = out.at[lin.astype(jnp.int32).reshape(-1)].add(
-                        jnp.where(okb, wgt, 0.0).reshape(-1))
-        return out
+        fo = ob - o0
+        o0i = o0.astype(jnp.int32) % 8
+        O = jax.nn.one_hot(o0i, 8) * (1.0 - fo)[:, None] + \
+            jax.nn.one_hot((o0i + 1) % 8, 8) * fo[:, None]  # (P², 8)
+        D = jnp.einsum("s,si,sj->ij", mag, S_mat, O)        # (16, 8)
+        return D.reshape(128)
 
     def normalize(out):
         # L2 -> clip 0.2 -> L2; optional L1-root (ref L1_ROOT)
