@@ -52,6 +52,11 @@ class SiftOptions(NamedTuple):
     edge_threshold: float = 10.0
     max_num_features: int = 8192        # per image (ref 8192)
     candidates_per_octave: int = 1024
+    # scale each octave's candidate budget by its pixel area (the
+    # per-candidate refine/orient/describe work is the SIFT hot loop;
+    # small octaves physically cannot produce `candidates_per_octave`
+    # extrema, so fixed budgets waste ~2x device time)
+    adaptive_candidates: bool = True
     descriptor_patch: int = 16          # sample grid (4 bins x 4 samples)
     l1_root: bool = True
     # ref sift.h:44-114 extras:
@@ -142,6 +147,29 @@ def _bilinear_lvl(gauss: jax.Array, lvl: jax.Array, y: jax.Array,
             + v10 * dy * (1 - dx) + v11 * dy * dx)
 
 
+def _octave_budget(H: int, W: int, opts: SiftOptions) -> int:
+    """Candidate slots for an octave of H x W pixels: ~1 per 128 px,
+    rounded up to a lane multiple, clamped to candidates_per_octave."""
+    if not opts.adaptive_candidates:
+        return opts.candidates_per_octave
+    want = -(-(H * W) // 128)
+    want = -(-want // 128) * 128
+    return int(min(opts.candidates_per_octave, max(128, want)))
+
+
+def _nearest_lvl(gauss: jax.Array, lvl: jax.Array, y: jax.Array,
+                 x: jax.Array) -> jax.Array:
+    """Nearest-pixel sample of level `lvl` of a (NS, H, W) stack — one
+    gather per sample vs four for bilinear. Used for the orientation
+    histogram, which is 2x-smoothed and parabola-refined and therefore
+    insensitive to sub-pixel sampling (VLFeat likewise accumulates the
+    orientation window over integer pixels)."""
+    NS, H, W = gauss.shape
+    yi = jnp.clip(jnp.round(y), 0, H - 1).astype(jnp.int32)
+    xi = jnp.clip(jnp.round(x), 0, W - 1).astype(jnp.int32)
+    return gauss[lvl, yi, xi]
+
+
 def _extract_octave(gauss: jax.Array, octave: int, opts: SiftOptions):
     """Per-octave candidate detection + refinement + orientation + desc.
 
@@ -151,7 +179,7 @@ def _extract_octave(gauss: jax.Array, octave: int, opts: SiftOptions):
     B, NS, H, W = gauss.shape
     S = opts.scales_per_octave
     dog = gauss[:, 1:] - gauss[:, :-1]                  # (B, S+2, H, W)
-    K_oct = opts.candidates_per_octave
+    K_oct = _octave_budget(H, W, opts)
 
     # ---- 3x3x3 extrema ---------------------------------------------------
     def shift(a, ds, dy, dx):
@@ -177,7 +205,13 @@ def _extract_octave(gauss: jax.Array, octave: int, opts: SiftOptions):
 
     score = jnp.where(extremum, jnp.abs(center), 0.0)   # (B, S+2, H, W)
     flat = score.reshape(B, -1)
-    vals, idx = jax.lax.top_k(flat, K_oct)              # (B, K_oct)
+    if flat.shape[-1] > (1 << 16):
+        # TPU-native approximate top-k (bitonic partial reduction) —
+        # candidate selection needs no exact ordering
+        vals, idx = jax.lax.approx_max_k(flat, K_oct,
+                                         recall_target=0.95)
+    else:
+        vals, idx = jax.lax.top_k(flat, K_oct)          # (B, K_oct)
     ks = idx // (H * W)
     ky = (idx // W) % H
     kx = idx % W
@@ -250,7 +284,7 @@ def _orient_and_describe(gauss_b, lvl, yf, xf, sigma, opts: SiftOptions):
         step = 1.5 * s / nb * 3.0
         ys = y + grid[:, None] * step
         xs = x + grid[None, :] * step
-        v = _bilinear_lvl(gauss_b, lvl, ys, xs)          # (17, 17)
+        v = _nearest_lvl(gauss_b, lvl, ys, xs)           # (17, 17)
         gy = jnp.gradient(v, axis=0)
         gx = jnp.gradient(v, axis=1)
         mag = jnp.sqrt(gx * gx + gy * gy)

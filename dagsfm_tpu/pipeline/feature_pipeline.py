@@ -60,11 +60,20 @@ class FeaturePipelineOptions:
     retrieval: rt.RetrievalOptions = dataclasses.field(
         default_factory=rt.RetrievalOptions)
     pair_mode: str = "exhaustive"   # exhaustive | sequential | retrieval
+                                    # | vocab_tree
     batch_size: int = 8
     min_num_inliers: int = 15       # ref sift.h min_num_inliers
     max_error_px: float = 4.0       # ref sift.h max_error
     num_ransac_hypotheses: int = 256
     seed: int = 0
+    # ref sift.h:116-166 guided_matching: re-match each verified pair
+    # under its winning epipolar/homography constraint, recovering
+    # matches the ratio test killed
+    guided_matching: bool = False
+    # vocab_tree pair_mode extras (ref retrieval/visual_index.h +
+    # vote_and_verify.cc): Hamming rerank depth and spatial verification
+    vocab_tree_rerank: int = 0
+    spatial_verification: bool = False
 
 
 class FeaturePipeline:
@@ -83,6 +92,7 @@ class FeaturePipeline:
         self.opts = options or FeaturePipelineOptions()
         self.database_path = database_path
         self.keypoints: dict = {}
+        self.kp_geom: dict = {}     # image_id -> (K, 4) x y scale ori
         self.descriptors: dict = {}
         self.masks: dict = {}
         self.matches: dict = {}
@@ -118,9 +128,13 @@ class FeaturePipeline:
             xy = np.asarray(feats.xy) * scale_back
             desc = np.asarray(feats.descriptor)
             mask = np.asarray(feats.mask)
+            scl = np.asarray(feats.scale) * scale_back
+            ori = np.asarray(feats.orientation)
             for k in range(real):
                 i = chunk[k]
                 self.keypoints[i] = xy[k]
+                self.kp_geom[i] = np.concatenate(
+                    [xy[k], scl[k][:, None], ori[k][:, None]], axis=1)
                 self.descriptors[i] = desc[k]
                 self.masks[i] = mask[k]
         self.timings["extraction"] = time.time() - t0
@@ -136,7 +150,47 @@ class FeaturePipeline:
             return [(i, j) for (i, j, _) in rt.similarity_pairs(
                 self.descriptors, self.masks, self.opts.retrieval,
                 seed=self.opts.seed)]
+        if self.opts.pair_mode == "vocab_tree":
+            return self._vocab_tree_pairs(ids)
         raise ValueError(self.opts.pair_mode)
+
+    def _vocab_tree_pairs(self, ids: list) -> list:
+        """Vocab-tree retrieval pairing (ref VocabSimilarityGraph,
+        similarity_graph.cpp:101-199): index every image into a
+        VisualIndex built from the scene's own descriptors, query
+        top-num_images neighbors, optionally re-rank by Hamming votes
+        and spatially verify candidates (vote_and_verify.cc)."""
+        from dagsfm_tpu.features import visual_index as vi
+        train = np.concatenate(
+            [self.descriptors[i][self.masks[i]] for i in ids])
+        rng = np.random.default_rng(self.opts.seed)
+        if len(train) > 20000:
+            train = train[rng.choice(len(train), 20000, replace=False)]
+        tree = vi.build_vocab_tree(train, vi.VocabTreeOptions(),
+                                   seed=self.opts.seed)
+        index = vi.VisualIndex(tree)
+        for i in ids:
+            index.add(i, self.descriptors[i][self.masks[i]],
+                      keypoints=self.kp_geom[i][self.masks[i]]
+                      if i in self.kp_geom else None)
+        pairs = set()
+        for i in ids:
+            for j, _ in index.query(
+                    i, num_images=self.opts.retrieval.num_neighbors,
+                    rerank=self.opts.vocab_tree_rerank):
+                pair = (i, j) if i < j else (j, i)
+                if pair in pairs or pair[0] == pair[1]:
+                    continue
+                if self.opts.spatial_verification and i in self.kp_geom:
+                    cand = index.match_words(pair[0], pair[1])
+                    score, _ = vi.vote_and_verify(
+                        self.kp_geom[pair[0]][self.masks[pair[0]]],
+                        self.kp_geom[pair[1]][self.masks[pair[1]]],
+                        cand)
+                    if score < 4:
+                        continue
+                pairs.add(pair)
+        return sorted(pairs)
 
     # --------------------------------------------------------------- match
     def match_and_verify(self, pairs: list | None = None):
@@ -174,12 +228,42 @@ class FeaturePipeline:
             if res.num_inliers < self.opts.min_num_inliers:
                 continue
             m = raw[(i, j)]
+            inlier_matches = m[res.inlier_mask]
+            num_inliers = res.num_inliers
+            if self.opts.guided_matching:
+                gm = self._guided_rematch((i, j), res)
+                if gm is not None and len(gm) >= num_inliers:
+                    inlier_matches, num_inliers = gm, len(gm)
             self.matches[(i, j)] = m
             self.two_view[(i, j)] = TwoViewRecord(
-                R=res.R, t=res.t, inlier_matches=m[res.inlier_mask],
-                num_inliers=res.num_inliers, config=res.config,
+                R=res.R, t=res.t, inlier_matches=inlier_matches,
+                num_inliers=num_inliers, config=res.config,
                 E=res.E, F=res.F, H=res.H)
         self.timings["verification"] = time.time() - t0
+
+    def _guided_rematch(self, pair, res):
+        """Guided matching under the winning two-view model (ref
+        matching.cc guided matching: epipolar constraint for E/F pairs,
+        reprojection for H pairs). Returns (M, 2) uint32 or None."""
+        from dagsfm_tpu.ops import two_view_classify as tvc
+        i, j = pair
+        use_h = res.config in (tvc.PLANAR, tvc.PANORAMIC,
+                               tvc.PLANAR_OR_PANORAMIC)
+        G = res.H if use_h else res.F
+        if G is None:
+            return None
+        matches, _ = fm.guided_match_pair(
+            jnp.asarray(self.descriptors[i]),
+            jnp.asarray(self.descriptors[j]),
+            jnp.asarray(self.keypoints[i]),
+            jnp.asarray(self.keypoints[j]),
+            jnp.asarray(self.masks[i]), jnp.asarray(self.masks[j]),
+            jnp.asarray(G, jnp.float32),
+            max_error_px=self.opts.max_error_px,
+            opts=self.opts.matching, use_homography=use_h)
+        m = np.asarray(matches)
+        m = m[m[:, 0] >= 0]
+        return m.astype(np.uint32)
 
     # ------------------------------------------------------------ database
     def write_database(self, path: str | None = None):

