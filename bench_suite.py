@@ -176,26 +176,32 @@ def main():
 
     only = set(args.only.split(",")) if args.only else None
     results = []
-    if only is None or "ba" in only:
-        bench_ba_dense(dtype, results)
-        print(json.dumps(results[-1]), flush=True)
-    if only is None or "ba_iter" in only:
-        bench_ba_iterative(dtype, results, args.smoke)
-        print(json.dumps(results[-1]), flush=True)
+
+    def _flush():
+        # written after EVERY metric so a mid-run device crash (the
+        # remote-TPU tunnel can restart) keeps the completed entries
+        with open("BENCH_SUITE.json", "w") as f:
+            json.dump({"backend": jax.default_backend(),
+                       "device": str(jax.devices()[0]),
+                       "results": results}, f, indent=1)
+        if results:
+            print(json.dumps(results[-1]), flush=True)
+
     if only is None or "sift" in only:
         bench_sift(results, args.smoke)
-        print(json.dumps(results[-1]), flush=True)
+        _flush()
     if only is None or "match" in only:
         bench_matcher(results, args.smoke)
-        print(json.dumps(results[-1]), flush=True)
+        _flush()
+    if only is None or "ba" in only:
+        bench_ba_dense(dtype, results)
+        _flush()
+    if only is None or "ba_iter" in only:
+        bench_ba_iterative(dtype, results, args.smoke)
+        _flush()
     if only is None or "map" in only:
         bench_mapper(results, args.smoke)
-        print(json.dumps(results[-1]), flush=True)
-
-    with open("BENCH_SUITE.json", "w") as f:
-        json.dump({"backend": jax.default_backend(),
-                   "device": str(jax.devices()[0]),
-                   "results": results}, f, indent=1)
+        _flush()
 
 
 if __name__ == "__main__":
