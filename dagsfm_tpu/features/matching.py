@@ -146,12 +146,21 @@ def guided_match_pair(d1, d2, xy1, xy2, m1, m2, G,
     ok_geom = geom2 < max_error_px ** 2
     neg = jnp.finfo(sim.dtype).min
     sim = jnp.where(ok_geom & m1[:, None] & m2[None, :], sim, neg)
-    best = jnp.argmax(sim, axis=1)
-    best_val = jnp.max(sim, axis=1)
+    # ratio test WITHIN the geometry-gated candidate set (the reference's
+    # guided matching keeps Lowe's ratio restricted to constraint-
+    # consistent candidates; without it, epipolar gating alone floods the
+    # match set with repetitive-texture false positives — the constraint
+    # is only 1-dimensional)
+    top2, top2_idx = jax.lax.top_k(sim, 2)
+    best = top2_idx[:, 0]
+    best_val = top2[:, 0]
+    d_best = jnp.sqrt(jnp.maximum(2.0 - 2.0 * best_val, 0.0))
+    d_second = jnp.sqrt(jnp.maximum(2.0 - 2.0 * top2[:, 1], 1e-12))
+    ratio_ok = d_best < opts.max_ratio * d_second
     rev = jnp.argmax(sim, axis=0)
     mutual = jnp.take_along_axis(rev, best, 0) == jnp.arange(K)
-    d_best = jnp.sqrt(jnp.maximum(2.0 - 2.0 * best_val, 0.0))
-    ok = mutual & (d_best < opts.max_distance) & m1 & (best_val > neg / 2)
+    ok = (mutual & ratio_ok & (d_best < opts.max_distance) & m1
+          & (best_val > neg / 2))
     matches = jnp.stack([jnp.where(ok, jnp.arange(K), -1),
                          jnp.where(ok, best, -1)], axis=-1)
     return matches.astype(jnp.int32), jnp.sum(ok)

@@ -51,6 +51,9 @@ class ShardedBAProblem(NamedTuple):
     cam_model_id: jax.Array   # (C,)
     cam_params: jax.Array     # (C, MAX)
     const_image: jax.Array    # (I,)
+    # (C, 8) refinable-intrinsic-slot mask (cameras.apply_intrinsics_delta
+    # layout; all-zero = intrinsics constant)
+    cam_refine: jax.Array
     # sharded by device (leading axis D)
     points: jax.Array         # (D, Pd, 3)
     points_mask: jax.Array    # (D, Pd)
@@ -68,7 +71,8 @@ class ShardedBAProblem(NamedTuple):
 
 
 def shard_problem(arrays, num_devices: int, max_track_len: int = 16,
-                  const_image=None, dtype=jnp.float64) -> ShardedBAProblem:
+                  const_image=None, cam_refine=None,
+                  dtype=jnp.float64) -> ShardedBAProblem:
     """Partition a SceneArrays by point onto `num_devices` shards.
 
     Points are assigned round-robin by track size (greedy balance); each
@@ -172,6 +176,9 @@ def shard_problem(arrays, num_devices: int, max_track_len: int = 16,
     if const_image is None:
         const_image = np.zeros(I, bool)
         const_image[:2] = True
+    if cam_refine is None:
+        cam_refine = np.zeros((arrays.cam_params.shape[0],
+                               cm.NUM_INTRINSIC_SLOTS))
 
     return ShardedBAProblem(
         jnp.asarray(arrays.image_qvec, dtype),
@@ -180,6 +187,7 @@ def shard_problem(arrays, num_devices: int, max_track_len: int = 16,
         jnp.asarray(arrays.cam_model_id),
         jnp.asarray(arrays.cam_params, dtype),
         jnp.asarray(const_image),
+        jnp.asarray(cam_refine, dtype),
         jnp.asarray(points, dtype), jnp.asarray(pmask),
         jnp.asarray(obs_image), jnp.asarray(obs_point),
         jnp.asarray(obs_xy, dtype), jnp.asarray(obs_mask),
@@ -193,7 +201,8 @@ def place(prob: ShardedBAProblem, mesh: Mesh) -> ShardedBAProblem:
     sh = NamedSharding(mesh, P("d"))
     rep = NamedSharding(mesh, P())
     rep_fields = {"image_qvec", "image_tvec", "image_camidx",
-                  "cam_model_id", "cam_params", "const_image"}
+                  "cam_model_id", "cam_params", "const_image",
+                  "cam_refine"}
     out = {}
     for name, val in prob._asdict().items():
         out[name] = jax.device_put(
@@ -203,23 +212,28 @@ def place(prob: ShardedBAProblem, mesh: Mesh) -> ShardedBAProblem:
 
 def _local_r_J(qvec, tvec, camidx, model_id, cam_params, const_image,
                points, obs_image, obs_point, obs_xy, obs_mask,
-               loss_scale, pinhole_only):
+               loss_scale, pinhole_only, cam_refine=None,
+               refine=False):
     """Device-local weighted residuals + jacobians (no leading D axis).
 
-    Returns (r_w, Jc_w, Jp_w) with robust (Cauchy) IRLS weights and the
-    observation/const-camera masks folded in.
+    Returns (r_w, Jc_w, Jp_w, Jg_w) with robust (Cauchy) IRLS weights and
+    the observation/const-camera masks folded in. Jg_w is None unless
+    `refine` (static) — the intrinsics-increment Jacobian, masked by the
+    observation's camera cam_refine row.
     """
     dtype = obs_xy.dtype
     q = qvec[obs_image]
     t = tvec[obs_image]
     cidx = camidx[obs_image]
 
+    G = cm.NUM_INTRINSIC_SLOTS
     zeros6 = jnp.zeros(6, dtype)
     zeros3 = jnp.zeros(3, dtype)
-    zeros2 = jnp.zeros(2, dtype)
+    zerosG = jnp.zeros(G, dtype)
     X = points[obs_point]
 
-    if pinhole_only:
+    Jg = None
+    if pinhole_only and not refine:
         fpar = ba._pinhole_fparams_from(cam_params, model_id)[cidx]
 
         def one(qv, tv, p4, x, xy):
@@ -230,18 +244,32 @@ def _local_r_J(qvec, tvec, camidx, model_id, cam_params, const_image,
             return r, Jc, Jp
 
         r, Jc, Jp = jax.vmap(one)(q, t, fpar, X, obs_xy)
-    else:
+    elif not refine:
         mid = model_id[cidx]
         par = cam_params[cidx]
 
         def one(qv, tv, m, p, x, xy):
-            f = lambda dc, dp: ba._project_one(dc, dp, zeros2, qv, tv, m,
+            f = lambda dc, dp: ba._project_one(dc, dp, zerosG, qv, tv, m,
                                                p, x, xy)
             r = f(zeros6, zeros3)
             Jc, Jp = jax.jacfwd(f, argnums=(0, 1))(zeros6, zeros3)
             return r, Jc, Jp
 
         r, Jc, Jp = jax.vmap(one)(q, t, mid, par, X, obs_xy)
+    else:
+        mid = model_id[cidx]
+        par = cam_params[cidx]
+
+        def one(qv, tv, m, p, x, xy):
+            f = lambda dc, dp, dg: ba._project_one(dc, dp, dg, qv, tv, m,
+                                                   p, x, xy)
+            r = f(zeros6, zeros3, zerosG)
+            Jc, Jp, Jg = jax.jacfwd(f, argnums=(0, 1, 2))(
+                zeros6, zeros3, zerosG)
+            return r, Jc, Jp, Jg
+
+        r, Jc, Jp, Jg = jax.vmap(one)(q, t, mid, par, X, obs_xy)
+        Jg = Jg * cam_refine[cidx][:, None, :]
 
     r2 = jnp.sum(r * r, axis=-1)
     w = 1.0 / (1.0 + r2 / (loss_scale * loss_scale))        # cauchy IRLS
@@ -251,7 +279,8 @@ def _local_r_J(qvec, tvec, camidx, model_id, cam_params, const_image,
     Jc_w = Jc * sw * camfree
     Jp_w = Jp * sw
     r_w = r * sw[..., 0]
-    return r_w, Jc_w, Jp_w
+    Jg_w = Jg * sw if refine else None
+    return r_w, Jc_w, Jp_w, Jg_w
 
 
 def _point_blocks(r_w, Jp_w, trk_obs, trk_mask, lam, point_damping):
@@ -287,12 +316,13 @@ def _build_solver(mesh: Mesh, opts: ba.BAOptions, solver: str,
                   pinhole_only: bool):
     """Jitted sharded LM loop (cached per mesh/opts — re-running the
     final BA per cluster or per round reuses the compiled program)."""
+    refine = ba._refine_any(opts)
     spec_sh = P("d")
     spec_rep = P()
-    step_in = (spec_rep,) * 6 + (spec_sh,) * 9 + (spec_rep,)
+    step_in = (spec_rep,) * 7 + (spec_sh,) * 9 + (spec_rep,)
     shmap_step = functools.partial(
         shard_map, mesh=mesh, in_specs=step_in,
-        out_specs=(spec_rep, spec_sh), check_vma=False)
+        out_specs=(spec_rep, spec_rep, spec_sh), check_vma=False)
     shmap_cost = functools.partial(
         shard_map, mesh=mesh,
         in_specs=(spec_rep,) * 5 + (spec_sh,) * 5,
@@ -320,14 +350,16 @@ def _build_solver(mesh: Mesh, opts: ba.BAOptions, solver: str,
         return jnp.sum(jnp.where(om, c, 0.0))
 
     def step_local(qvec, tvec, camidx, model_id, cam_params, const_image,
-                   points, oi, op_, oxy, om, tro, trm, co, cmk, lam):
+                   cam_refine, points, oi, op_, oxy, om, tro, trm, co,
+                   cmk, lam):
         """Device-local half of one damped GN step; returns psummable
         blocks + local point data for backsubstitution."""
         I = qvec.shape[0]
         dtype = oxy.dtype
-        r_w, Jc_w, Jp_w = _local_r_J(
+        r_w, Jc_w, Jp_w, Jg_w = _local_r_J(
             qvec, tvec, camidx, model_id, cam_params, const_image,
-            points, oi, op_, oxy, om, opts.loss_scale, pinhole_only)
+            points, oi, op_, oxy, om, opts.loss_scale, pinhole_only,
+            cam_refine, refine)
         Vinv, gp = _point_blocks(r_w, Jp_w, tro, trm, lam,
                                  opts.point_damping)
         W = jnp.einsum("nri,nrj->nij", Jc_w, Jp_w)           # (Nd,6,3)
@@ -341,7 +373,21 @@ def _build_solver(mesh: Mesh, opts: ba.BAOptions, solver: str,
         WVinv = jnp.einsum("nij,njk->nik", W, Vinv[op_])
         corr_l = _cam_reduce(
             jnp.einsum("nik,nk->ni", WVinv, gp[op_]), co, cmk)
-        return U_l, gc_l, corr_l, (W, WVinv, Vinv, gp)
+        if not refine:
+            return U_l, gc_l, corr_l, (W, WVinv, Vinv, gp)
+        # intrinsics partial sums (kept at IMAGE granularity locally;
+        # the image->camera fold happens post-psum — the (Nd,C) one-hot
+        # never materializes)
+        Jg_slot = Jg_w[co] * cmask                           # (I,Ml,2,G)
+        Ugg_l = jnp.einsum("imra,imrb->iab", Jg_slot, Jg_slot)
+        Upg_l = jnp.einsum("imra,imrb->iab", Jc_slot, Jg_slot)
+        gg_l = -jnp.einsum("imra,imr->ia", Jg_slot, rc_slot)
+        Wg = jnp.einsum("nri,nrj->nij", Jg_w, Jp_w)          # (Nd,G,3)
+        WgVinv = jnp.einsum("nij,njk->nik", Wg, Vinv[op_])
+        corrg_l = _cam_reduce(
+            jnp.einsum("nik,nk->ni", WgVinv, gp[op_]), co, cmk)
+        return U_l, gc_l, corr_l, (W, WVinv, Vinv, gp), \
+            (Ugg_l, Upg_l, gg_l, corrg_l, Wg, WgVinv)
 
     def damp_and_pin(U, lam, const_image, dtype):
         I = U.shape[0]
@@ -354,14 +400,14 @@ def _build_solver(mesh: Mesh, opts: ba.BAOptions, solver: str,
     if solver == "dense":
         @shmap_step
         def sharded_step(qvec, tvec, camidx, model_id, cam_params,
-                         const_image, points, oi, op_, oxy, om, tro, trm,
-                         co, cmk, lam):
+                         const_image, cam_refine, points, oi, op_, oxy,
+                         om, tro, trm, co, cmk, lam):
             I = qvec.shape[0]
             dtype = oxy.dtype
             U_l, gc_l, corr_l, (W, WVinv, Vinv, gp) = step_local(
                 qvec, tvec, camidx, model_id, cam_params, const_image,
-                points[0], oi[0], op_[0], oxy[0], om[0], tro[0], trm[0],
-                co[0], cmk[0], lam)
+                cam_refine, points[0], oi[0], op_[0], oxy[0], om[0],
+                tro[0], trm[0], co[0], cmk[0], lam)
 
             # dense S: off-diagonal blocks via per-point one-hot einsums
             # (only reachable in the small-I regime, mirroring the
@@ -398,27 +444,44 @@ def _build_solver(mesh: Mesh, opts: ba.BAOptions, solver: str,
                 (L, low), bm.reshape(I * 6)).reshape(I, 6)
             dcam = dcam * free[:, None]
             dpt = _backsub_points(dcam, Vinv, gp, W, oi[0], tro[0], trm[0])
-            return dcam, dpt[None]
+            dint = jnp.zeros_like(cam_refine)
+            return dcam, dint, dpt[None]
     else:
         @shmap_step
         def sharded_step(qvec, tvec, camidx, model_id, cam_params,
-                         const_image, points, oi, op_, oxy, om, tro, trm,
-                         co, cmk, lam):
+                         const_image, cam_refine, points, oi, op_, oxy,
+                         om, tro, trm, co, cmk, lam):
             """ITERATIVE_SCHUR: matrix-free SCHUR_JACOBI PCG. One psum of
-            (I,6) per CG iteration rides the ICI; S never materialized."""
+            (I,6) (+ (I,G) when intrinsics refine) per CG iteration rides
+            the ICI; S never materialized. With refinement the system is
+            JOINT over poses and per-camera intrinsics (shared-camera
+            blocks folded image->camera post-psum)."""
             I = qvec.shape[0]
+            C = cam_params.shape[0]
+            G = cm.NUM_INTRINSIC_SLOTS
             dtype = oxy.dtype
             oi0, op0 = oi[0], op_[0]
             tro0, trm0, co0, cmk0 = tro[0], trm[0], co[0], cmk[0]
-            U_l, gc_l, corr_l, (W, WVinv, Vinv, gp) = step_local(
+            out = step_local(
                 qvec, tvec, camidx, model_id, cam_params, const_image,
-                points[0], oi0, op0, oxy[0], om[0], tro0, trm0,
-                co0, cmk0, lam)
+                cam_refine, points[0], oi0, op0, oxy[0], om[0], tro0,
+                trm0, co0, cmk0, lam)
+            U_l, gc_l, corr_l, (W, WVinv, Vinv, gp) = out[:4]
             Bblk_l = _cam_reduce(
                 jnp.einsum("nik,njk->nij", WVinv, W).reshape(-1, 36),
                 co0, cmk0).reshape(I, 6, 6)
-            U, gc, corr, Bblk = jax.lax.psum(
-                (U_l, gc_l, corr_l, Bblk_l), "d")
+            if refine:
+                Ugg_l, Upg_l, gg_l, corrg_l, Wg, WgVinv = out[4]
+                Bgg_l = _cam_reduce(
+                    jnp.einsum("nik,njk->nij", WgVinv, Wg
+                               ).reshape(-1, G * G),
+                    co0, cmk0).reshape(I, G, G)
+                U, gc, corr, Bblk, Ugg_i, Upg, gg_i, corrg_i, Bgg_i = \
+                    jax.lax.psum((U_l, gc_l, corr_l, Bblk_l, Ugg_l,
+                                  Upg_l, gg_l, corrg_l, Bgg_l), "d")
+            else:
+                U, gc, corr, Bblk = jax.lax.psum(
+                    (U_l, gc_l, corr_l, Bblk_l), "d")
 
             Ud, free, eyeC = damp_and_pin(U, lam, const_image, dtype)
             b = (gc - corr) * free[:, None]
@@ -429,6 +492,104 @@ def _build_solver(mesh: Mesh, opts: ba.BAOptions, solver: str,
                 1e-10 * eyeC[None]
             Minv = jnp.linalg.solve(
                 Sdiag, jnp.broadcast_to(eyeC, Sdiag.shape))
+
+            if refine:
+                camhot = jax.nn.one_hot(camidx, C, dtype=dtype)  # (I,C)
+                gfree = (cam_refine > 0).astype(dtype)           # (C,G)
+                eyeG = jnp.eye(G, dtype=dtype)
+
+                def fold(z_img):
+                    return jnp.einsum("ic,ia->ca", camhot, z_img)
+
+                U_gg = jnp.einsum(
+                    "ic,iab->cab", camhot, Ugg_i)                # (C,G,G)
+                U_ggd = U_gg + lam * eyeG[None] * jnp.maximum(
+                    jnp.diagonal(U_gg, axis1=-2, axis2=-1),
+                    1e-6)[..., None]
+                b_g = (fold(gg_i) - fold(corrg_i)) * gfree
+                Sdiag_g = U_ggd - jnp.einsum("ic,iab->cab", camhot, Bgg_i)
+                gf2 = gfree[:, :, None] * gfree[:, None, :]
+                Sdiag_g = Sdiag_g * gf2 + \
+                    (1.0 - gfree)[:, :, None] * eyeG[None]
+                Sdiag_g = 0.5 * (Sdiag_g + jnp.swapaxes(
+                    Sdiag_g, -1, -2)) + 1e-10 * eyeG[None]
+                Minv_g = jnp.linalg.solve(
+                    Sdiag_g, jnp.broadcast_to(eyeG, Sdiag_g.shape))
+                cidx_obs = camidx[oi0]
+
+                def S_mv_joint(xp, xg):
+                    xpm = xp * free[:, None]
+                    xgm = xg * gfree
+                    u = jnp.einsum("nij,ni->nj", W, xpm[oi0]) + \
+                        jnp.einsum("nij,ni->nj", Wg, xgm[cidx_obs])
+                    u_slot = u[tro0] * trm0[..., None].astype(dtype)
+                    y = jnp.einsum("pij,pj->pi", Vinv,
+                                   jnp.sum(u_slot, axis=1))
+                    yo = y[op0]
+                    zc_l = _cam_reduce(
+                        jnp.einsum("nij,nj->ni", W, yo), co0, cmk0)
+                    zg_l = _cam_reduce(
+                        jnp.einsum("nij,nj->ni", Wg, yo), co0, cmk0)
+                    zc, zg_i = jax.lax.psum((zc_l, zg_l), "d")
+                    Sxp = jnp.einsum("iab,ib->ia", Ud, xpm) + \
+                        jnp.einsum("iab,ib->ia", Upg, xgm[camidx]) - zc
+                    Sxg = jnp.einsum("cab,cb->ca", U_ggd, xgm) + \
+                        fold(jnp.einsum("iab,ia->ib", Upg, xpm)) - \
+                        fold(zg_i)
+                    Sxp = Sxp * free[:, None] + xp * (1.0 - free)[:, None]
+                    Sxg = Sxg * gfree + xg * (1.0 - gfree)
+                    return Sxp, Sxg
+
+                def precond_joint(vp, vg):
+                    return (jnp.einsum("iab,ib->ia", Minv, vp),
+                            jnp.einsum("cab,cb->ca", Minv_g, vg))
+
+                def dotj(ap, ag, bp, bg):
+                    return jnp.sum(ap * bp) + jnp.sum(ag * bg)
+
+                bnorm = jnp.sqrt(dotj(b, b_g, b, b_g))
+                tol = opts.linear_rtol * jnp.maximum(bnorm, 1e-30)
+                zp0, zg0 = precond_joint(b, b_g)
+                rz0 = dotj(b, b_g, zp0, zg0)
+
+                def cond(st):
+                    k, _, _, rp, rg, _, _, _ = st
+                    return (k < opts.max_linear_iterations) & \
+                        (jnp.sqrt(dotj(rp, rg, rp, rg)) > tol)
+
+                def body(st):
+                    k, xp, xg, rp, rg, pp, pg, rz = st
+                    Ap, Ag = S_mv_joint(pp, pg)
+                    pAp = dotj(pp, pg, Ap, Ag)
+                    alpha = rz / jnp.where(jnp.abs(pAp) < 1e-30, 1e-30,
+                                           pAp)
+                    xp = xp + alpha * pp
+                    xg = xg + alpha * pg
+                    rp = rp - alpha * Ap
+                    rg = rg - alpha * Ag
+                    zp, zg = precond_joint(rp, rg)
+                    rz_new = dotj(rp, rg, zp, zg)
+                    beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30,
+                                              1e-30, rz)
+                    return (k + 1, xp, xg, rp, rg, zp + beta * pp,
+                            zg + beta * pg, rz_new)
+
+                _, dcam, dint, *_ = jax.lax.while_loop(
+                    cond, body,
+                    (jnp.asarray(0), jnp.zeros_like(b),
+                     jnp.zeros_like(b_g), b, b_g, zp0, zg0, rz0))
+                dcam = dcam * free[:, None]
+                dint = dint * gfree
+                # back-substitution includes the intrinsics contribution
+                tm = trm0[..., None, None].astype(dtype)
+                slot_Wc = W[tro0] * tm
+                slot_Wg = Wg[tro0] * tm
+                dc_slots = dcam[oi0[tro0]] * trm0[..., None]
+                dg_slots = dint[cidx_obs[tro0]] * trm0[..., None]
+                wtd = jnp.einsum("ptij,pti->pj", slot_Wc, dc_slots) + \
+                    jnp.einsum("ptij,pti->pj", slot_Wg, dg_slots)
+                dpt = jnp.einsum("pij,pj->pi", Vinv, gp - wtd)
+                return dcam, dint, dpt[None]
 
             def S_mv(x):
                 xm = x * free[:, None]
@@ -471,7 +632,8 @@ def _build_solver(mesh: Mesh, opts: ba.BAOptions, solver: str,
                 cond, body, (jnp.asarray(0), x0, b, z0, rz0))
             dcam = dcam * free[:, None]
             dpt = _backsub_points(dcam, Vinv, gp, W, oi0, tro0, trm0)
-            return dcam, dpt[None]
+            dint = jnp.zeros_like(cam_refine)
+            return dcam, dint, dpt[None]
 
     @shmap_cost
     def plain_cost_sh(qvec, tvec, camidx, model_id, cam_params,
@@ -483,36 +645,43 @@ def _build_solver(mesh: Mesh, opts: ba.BAOptions, solver: str,
 
     @jax.jit
     def run(qvec, tvec, camidx, model_id, cam_params, const_image,
-            points, oi, op_, oxy, om, tro, trm, co, cmk):
-        def pc(qv, tv, pts):
-            return plain_cost_sh(qv, tv, camidx, model_id, cam_params,
+            cam_refine, points, oi, op_, oxy, om, tro, trm, co, cmk):
+        def pc(qv, tv, cp, pts):
+            return plain_cost_sh(qv, tv, camidx, model_id, cp,
                                  pts, oi, op_, oxy, om)
 
         def lm_iter(carry, _):
-            qvec, tvec, points, lam, cost = carry
-            dcam, dpt = sharded_step(
+            qvec, tvec, cam_params, points, lam, cost = carry
+            dcam, dint, dpt = sharded_step(
                 qvec, tvec, camidx, model_id, cam_params, const_image,
-                points, oi, op_, oxy, om, tro, trm, co, cmk, lam)
+                cam_refine, points, oi, op_, oxy, om, tro, trm, co, cmk,
+                lam)
             dq = rops.angleaxis_to_quat(dcam[:, :3])
             q_new = rops.quat_normalize(rops.quat_multiply(dq, qvec))
             t_new = tvec + dcam[:, 3:]
             p_new = points + dpt
-            new_cost = pc(q_new, t_new, p_new)
+            if refine:
+                cp_new = jax.vmap(cm.apply_intrinsics_delta)(
+                    model_id, cam_params, dint * cam_refine)
+            else:
+                cp_new = cam_params
+            new_cost = pc(q_new, t_new, cp_new, p_new)
             accept = new_cost < cost
             qvec = jnp.where(accept, q_new, qvec)
             tvec = jnp.where(accept, t_new, tvec)
+            cam_params = jnp.where(accept, cp_new, cam_params)
             points = jnp.where(accept, p_new, points)
             cost = jnp.where(accept, new_cost, cost)
             lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-10),
                             jnp.minimum(lam * 4.0, 1e6))
-            return (qvec, tvec, points, lam, cost), cost
+            return (qvec, tvec, cam_params, points, lam, cost), cost
 
-        cost0 = pc(qvec, tvec, points)
+        cost0 = pc(qvec, tvec, cam_params, points)
         lam0 = jnp.asarray(opts.init_lambda, oxy.dtype)
-        (qv, tv, pts, lam, cost), _ = jax.lax.scan(
-            lm_iter, (qvec, tvec, points, lam0, cost0), None,
+        (qv, tv, cp, pts, lam, cost), _ = jax.lax.scan(
+            lm_iter, (qvec, tvec, cam_params, points, lam0, cost0), None,
             length=opts.max_iterations)
-        return qv, tv, pts, cost0, cost
+        return qv, tv, cp, pts, cost0, cost
 
     return run
 
@@ -539,19 +708,24 @@ def solve_sharded(prob: ShardedBAProblem, mesh: Mesh,
     solver = opts.solver
     if solver == "auto":
         solver = "iterative" if I > opts.dense_threshold else "dense"
+    if ba._refine_any(opts):
+        # intrinsics refinement is implemented in the matrix-free joint
+        # regime only (the regime the merged/final BA actually runs in)
+        solver = "iterative"
     if pinhole_only is None:
         pinhole_only = bool(opts.pinhole_only)
 
     run = _cached_solver(mesh, opts, solver, pinhole_only)
-    qv, tv, pts, c0, c1 = run(
+    qv, tv, cp, pts, c0, c1 = run(
         prob.image_qvec, prob.image_tvec, prob.image_camidx,
         prob.cam_model_id, prob.cam_params, prob.const_image,
-        prob.points, prob.obs_image, prob.obs_point, prob.obs_xy,
-        prob.obs_mask, prob.trk_obs, prob.trk_mask,
+        prob.cam_refine, prob.points, prob.obs_image, prob.obs_point,
+        prob.obs_xy, prob.obs_mask, prob.trk_obs, prob.trk_mask,
         prob.cam_obs, prob.cam_mask)
     stats = ba.BAStats(c0, c1, jnp.asarray(opts.max_iterations),
                        jnp.asarray(0.0))
-    return prob._replace(image_qvec=qv, image_tvec=tv, points=pts), stats
+    return prob._replace(image_qvec=qv, image_tvec=tv, cam_params=cp,
+                         points=pts), stats
 
 
 

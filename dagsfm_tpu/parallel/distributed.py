@@ -64,14 +64,18 @@ class ClusterJobRunner:
     """
 
     def __init__(self, work_dir: str, host_id: int,
-                 lease_timeout_s: float = 3600.0):
+                 lease_timeout_s: float = 3600.0, max_attempts: int = 3):
         self.work_dir = work_dir
         self.host_id = host_id
         self.lease_timeout_s = lease_timeout_s
+        self.max_attempts = max_attempts
         os.makedirs(os.path.join(work_dir, "leases"), exist_ok=True)
 
     def _lease_path(self, k: int) -> str:
         return os.path.join(self.work_dir, "leases", f"cluster{k}.lease")
+
+    def _fail_path(self, k: int) -> str:
+        return os.path.join(self.work_dir, "leases", f"cluster{k}.fail")
 
     def _out_path(self, k: int) -> str:
         return os.path.join(self.work_dir, f"partition{k}")
@@ -80,22 +84,87 @@ class ClusterJobRunner:
         return os.path.exists(os.path.join(self._out_path(k),
                                            "cameras.bin"))
 
+    def is_failed(self, k: int) -> bool:
+        """True once the job is tombstoned (>= max_attempts failures) —
+        a deterministically failing cluster stops being retried instead
+        of livelocking the fleet."""
+        try:
+            with open(self._fail_path(k)) as f:
+                return json.load(f).get("attempts", 0) >= self.max_attempts
+        except (FileNotFoundError, json.JSONDecodeError):
+            return False
+
+    def record_failure(self, k: int) -> int:
+        """Increment the attempts counter and release the lease. Returns
+        the new attempt count (tombstoned at max_attempts)."""
+        attempts = 0
+        try:
+            with open(self._fail_path(k)) as f:
+                attempts = json.load(f).get("attempts", 0)
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
+        attempts += 1
+        tmp = self._fail_path(k) + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"attempts": attempts, "host": self.host_id,
+                       "t": time.time()}, f)
+        os.replace(tmp, self._fail_path(k))
+        try:
+            os.remove(self._lease_path(k))
+        except FileNotFoundError:
+            pass
+        return attempts
+
     def claim(self, k: int) -> bool:
-        """Take the lease for cluster k (returns False if live elsewhere)."""
-        if self.is_done(k):
+        """Take the lease for cluster k (returns False if live elsewhere).
+
+        Fresh claims are ATOMIC: O_CREAT|O_EXCL creation means exactly
+        one of any number of simultaneous claimers wins (the round-2
+        check-then-write race is gone). Takeover of an EXPIRED lease is
+        last-writer-wins with write-then-verify: both takeover candidates
+        replace the file, then re-read — only the one whose nonce
+        survived proceeds.
+        """
+        if self.is_done(k) or self.is_failed(k):
             return False
         path = self._lease_path(k)
-        if os.path.exists(path):
+        nonce = f"{self.host_id}-{os.getpid()}-{time.time_ns()}"
+        payload = json.dumps({"host": self.host_id,
+                              "t_start": time.time(), "nonce": nonce})
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            return True
+        except FileExistsError:
+            pass
+        try:
+            with open(path) as f:
+                lease = json.load(f)
+            if time.time() - lease["t_start"] < self.lease_timeout_s:
+                return False  # live lease held elsewhere
+        except FileNotFoundError:
+            # holder finished/released between our check and read: retry
+            # the atomic create once
             try:
-                with open(path) as f:
-                    lease = json.load(f)
-                if time.time() - lease["t_start"] < self.lease_timeout_s:
-                    return False  # live lease held elsewhere
-            except (json.JSONDecodeError, KeyError):
-                pass  # corrupt lease -> reclaim
-        with open(path, "w") as f:
-            json.dump({"host": self.host_id, "t_start": time.time()}, f)
-        return True
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    f.write(payload)
+                return True
+            except FileExistsError:
+                return False
+        except (json.JSONDecodeError, KeyError):
+            pass  # corrupt lease -> takeover below
+        tmp = path + f".takeover.{nonce}"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+        time.sleep(0.05)  # let racing replacers land before verifying
+        try:
+            with open(path) as f:
+                return json.load(f).get("nonce") == nonce
+        except (FileNotFoundError, json.JSONDecodeError):
+            return False
 
     def complete(self, k: int, rec) -> None:
         from dagsfm_tpu.scene import io as scene_io
@@ -107,10 +176,11 @@ class ClusterJobRunner:
 
     def orphaned_jobs(self, all_jobs: list) -> list:
         """Jobs with expired leases and no output — candidates to re-claim
-        (the retry/reassignment the reference lacks, SURVEY.md §5)."""
+        (the retry/reassignment the reference lacks, SURVEY.md §5).
+        Tombstoned jobs are excluded."""
         out = []
         for k in all_jobs:
-            if self.is_done(k):
+            if self.is_done(k) or self.is_failed(k):
                 continue
             path = self._lease_path(k)
             if not os.path.exists(path):
@@ -194,9 +264,8 @@ def run_worker(cameras: dict, images: dict, graph, clusters: list,
             runner.complete(k, rec)
             done.append(k)
         else:
-            # release the lease so another worker may retry differently
-            try:
-                os.remove(runner._lease_path(k))
-            except FileNotFoundError:
-                pass
+            # bounded retry: count the failure; after max_attempts the
+            # job is tombstoned so the fleet stops re-running a
+            # deterministic failure (round-2 livelock fix)
+            runner.record_failure(k)
     return done

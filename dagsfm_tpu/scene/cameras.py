@@ -102,6 +102,91 @@ def _is_single_focal(model_id):
     return out
 
 
+# --------------------------------------------------------------------------
+# Intrinsics increment parameterization for bundle adjustment.
+#
+# The reference's Ceres BA treats the raw camera parameter vector as the
+# variable block (optim/bundle_adjustment.cc:338 AddImageToProblem; which
+# slots stay constant is decided by BundleAdjustmentOptions refine_*
+# flags, bundle_adjustment.h:97-162). Here the BA increment is a FIXED
+# 8-slot local parameterization shared by all models so the whole
+# camera array stays one (C, 8) block on device:
+#
+#   slot 0: log-focal scale (applied to f, or to both fx and fy)
+#   slot 1: log-aspect (fy only; masked off for single-focal models)
+#   slot 2: principal point cx delta (pixels)
+#   slot 3: principal point cy delta (pixels)
+#   slot 4-7: first four extra (distortion) parameter deltas
+#
+# Models with >4 extra params (FULL_OPENCV, THIN_PRISM_FISHEYE) refine
+# only k1,k2,p1,p2 — the higher-order terms stay at their prior values
+# (the reference optimizes all of them; in practice COLMAP's defaults
+# zero-initialize and barely move them without strong coverage).
+# --------------------------------------------------------------------------
+
+NUM_INTRINSIC_SLOTS = 8
+
+
+def apply_intrinsics_delta(model_id, params, dint):
+    """Apply an 8-slot intrinsics increment to a padded param vector.
+
+    Traced-friendly for a single camera: params (MAX_CAMERA_PARAMS,),
+    dint (8,). Vmap over cameras for the (C, ...) case.
+    """
+    single = _is_single_focal(model_id)
+    fscale = jnp.exp(dint[0])
+    p = params
+    p = p.at[0].multiply(fscale)
+    p = p.at[1].set(jnp.where(single, p[1],
+                              p[1] * fscale * jnp.exp(dint[1])))
+    pp0 = jnp.where(single, 1, 2)
+    idx = jnp.arange(MAX_CAMERA_PARAMS)
+    add = jnp.zeros_like(p)
+    add = jnp.where(idx == pp0, dint[2], add)
+    add = jnp.where(idx == pp0 + 1, dint[3], add)
+    for k in range(4):
+        add = jnp.where(idx == pp0 + 2 + k, dint[4 + k], add)
+    npar = _num_params_traced(model_id)
+    add = jnp.where(idx < npar, add, 0.0)
+    return p + add
+
+
+def _num_params_traced(model_id):
+    m = jnp.asarray(model_id)
+    out = jnp.zeros(m.shape, dtype=jnp.int32)
+    for mid, n in CAMERA_MODEL_NUM_PARAMS.items():
+        out = jnp.where(m == mid, n, out)
+    return out
+
+
+def intrinsics_refine_mask(model_ids, refine_focal: bool,
+                           refine_principal: bool, refine_extra: bool,
+                           eligible=None):
+    """(C, 8) float mask of refinable intrinsic slots (host-side).
+
+    eligible: optional (C,) bool — cameras allowed to refine at all
+    (e.g. ~prior_focal per ref incremental_mapper_controller.h:100-110).
+    """
+    import numpy as np
+    mids = np.asarray(model_ids)
+    C = mids.shape[0]
+    single = np.isin(mids, _SINGLE_FOCAL)
+    npar = np.vectorize(CAMERA_MODEL_NUM_PARAMS.get)(mids)
+    n_extra = npar - np.where(single, 3, 4)
+    mask = np.zeros((C, NUM_INTRINSIC_SLOTS), np.float64)
+    if refine_focal:
+        mask[:, 0] = 1.0
+        mask[:, 1] = (~single).astype(np.float64)
+    if refine_principal:
+        mask[:, 2:4] = 1.0
+    if refine_extra:
+        for k in range(4):
+            mask[:, 4 + k] = (n_extra > k).astype(np.float64)
+    if eligible is not None:
+        mask *= np.asarray(eligible, bool)[:, None].astype(np.float64)
+    return mask
+
+
 # ----------------------------------------------------------------------------
 # Per-model distortion of normalized coords (u, v) -> (du, dv).
 # Each fn takes the padded param vector; distortion params start at the
@@ -332,12 +417,17 @@ class Camera(NamedTuple):
 def scale_focal(cam: Camera, factor: float) -> Camera:
     """Camera with focal length(s) scaled by `factor` (used by the
     focal-grid absolute-pose search, ref estimators/pose.cc:79: the best
-    grid focal is written back to the camera)."""
+    grid focal is written back to the camera).
+
+    prior_focal stays as-is: a coarse grid estimate is NOT a calibration
+    prior — BA intrinsics refinement must remain enabled to polish it
+    (the grid is log-spaced at ~26% steps; freezing its pick as a
+    "prior" would lock in up-to-13% focal error)."""
     p = list(cam.params)
     p[0] = p[0] * factor
     if cam.model_id not in _SINGLE_FOCAL:
         p[1] = p[1] * factor
-    return cam._replace(params=tuple(p), prior_focal=True)
+    return cam._replace(params=tuple(p))
 
 
 def make_simple_camera(camera_id: int, width: int, height: int,

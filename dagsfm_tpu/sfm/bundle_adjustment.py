@@ -63,6 +63,12 @@ class BAProblem(NamedTuple):
     # config
     const_image: jax.Array   # (I,) bool — pose held fixed (gauge)
     const_points: jax.Array  # (P,) bool
+    # (C, 8) float mask of refinable intrinsic slots (see
+    # cameras.apply_intrinsics_delta; all-zero = intrinsics constant,
+    # mirroring ref BundleAdjustmentOptions refine_focal_length /
+    # refine_principal_point / refine_extra_params,
+    # bundle_adjustment.h:97-162)
+    cam_refine: jax.Array
 
 
 class BAOptions(NamedTuple):
@@ -70,8 +76,14 @@ class BAOptions(NamedTuple):
     loss: str = "cauchy"           # 'trivial' | 'huber' | 'cauchy'
     loss_scale: float = 1.0        # in pixels (ref: CauchyLoss(1.0))
     init_lambda: float = 1e-4
+    # intrinsics refinement (ref defaults: refine_focal_length=true,
+    # refine_principal_point=false, refine_extra_params=true —
+    # incremental_mapper_controller.h:100-110). Which cameras actually
+    # refine is the (C, 8) cam_refine mask on the problem; these flags
+    # are the static jit keys that enable the joint camera-side system.
     refine_focal: bool = False
-    refine_extra: bool = False     # principal point + distortion slots
+    refine_principal: bool = False
+    refine_extra: bool = False     # distortion slots
     point_damping: float = 1e-8
     # static specializations (jit keys):
     #  pinhole_only: all cameras are SIMPLE_PINHOLE/PINHOLE -> projection
@@ -111,7 +123,7 @@ def all_pinhole(arrays) -> bool:
 
 def make_problem(arrays, max_track_len: int = 16,
                  const_image=None, const_points=None,
-                 dtype=jnp.float64) -> BAProblem:
+                 cam_refine=None, dtype=jnp.float64) -> BAProblem:
     """Build a BAProblem from SceneArrays (+ track grouping on host).
 
     The track-slot width T is shrunk to the actual max track length
@@ -198,6 +210,10 @@ def make_problem(arrays, max_track_len: int = 16,
 
     cam_obs, cam_mask = _group_obs_by_image(obs_image_c, om_c, I)
 
+    C = arrays.cam_params.shape[0]
+    if cam_refine is None:
+        cam_refine = np.zeros((C, cm.NUM_INTRINSIC_SLOTS))
+
     return BAProblem(
         jnp.asarray(arrays.image_qvec, dtype),
         jnp.asarray(arrays.image_tvec, dtype),
@@ -215,6 +231,7 @@ def make_problem(arrays, max_track_len: int = 16,
         jnp.asarray(cam_mask),
         jnp.asarray(const_image),
         jnp.asarray(const_points),
+        jnp.asarray(cam_refine, dtype),
     )
 
 
@@ -246,22 +263,19 @@ def _group_obs_by_image(obs_image, obs_mask, num_images: int):
 # residuals & jacobians
 # ---------------------------------------------------------------------------
 
-def _project_one(dcam, dpt, dfoc, qvec, tvec, model_id, params, xyz, xy):
+def _project_one(dcam, dpt, dint, qvec, tvec, model_id, params, xyz, xy):
     """Residual for one observation with local increments.
 
     dcam (6,): so(3) rotation increment + translation delta.
-    dpt (3,): point delta. dfoc (2,): log-focal + (unused slot) delta.
+    dpt (3,): point delta. dint (8,): intrinsics increment
+    (cameras.apply_intrinsics_delta slot layout).
     """
     dq = rops.angleaxis_to_quat(dcam[:3])
     q = rops.quat_multiply(dq, qvec)
     t = tvec + dcam[3:]
     X = xyz + dpt
     Xc = rops.quat_rotate(q, X) + t
-    params = params.at[0].multiply(jnp.exp(dfoc[0]))
-    # single-focal models scale param 0; double-focal also param 1
-    params = params.at[1].set(
-        jnp.where(_is_double_focal(model_id),
-                  params[1] * jnp.exp(dfoc[0]), params[1]))
+    params = cm.apply_intrinsics_delta(model_id, params, dint)
     proj = cm.img_from_cam(model_id, params, Xc)
     r = proj - xy
     # behind-camera guard: keep residual finite, large
@@ -304,9 +318,14 @@ def _pinhole_fparams(prob: BAProblem):
     return _pinhole_fparams_from(prob.cam_params, prob.cam_model_id)
 
 
-def _residuals_and_jacobians(prob: BAProblem, refine_focal: bool,
+def _residuals_and_jacobians(prob: BAProblem, refine_int: bool,
                              pinhole_only: bool = False):
-    """Batched (r (N,2), Jc (N,2,6), Jp (N,2,3), Jf (N,2,1))."""
+    """Batched (r (N,2), Jc (N,2,6), Jp (N,2,3), Jg (N,2,8)).
+
+    Jg is the intrinsics-increment Jacobian masked by the observation's
+    camera cam_refine row; all-zero when refine_int is False (static —
+    the jacfwd over dint is skipped entirely).
+    """
     q = prob.image_qvec[prob.obs_image]
     t = prob.image_tvec[prob.obs_image]
     cidx = prob.image_camidx[prob.obs_image]
@@ -314,11 +333,12 @@ def _residuals_and_jacobians(prob: BAProblem, refine_focal: bool,
     par = prob.cam_params[cidx]
     X = prob.points[prob.obs_point]
 
+    G = cm.NUM_INTRINSIC_SLOTS
     zeros6 = jnp.zeros(6, prob.obs_xy.dtype)
     zeros3 = jnp.zeros(3, prob.obs_xy.dtype)
-    zeros2 = jnp.zeros(2, prob.obs_xy.dtype)
+    zerosG = jnp.zeros(G, prob.obs_xy.dtype)
 
-    if pinhole_only and not refine_focal:
+    if pinhole_only and not refine_int:
         fpar = _pinhole_fparams(prob)[cidx]
 
         def one_ph(qv, tv, p4, x, xy):
@@ -329,18 +349,29 @@ def _residuals_and_jacobians(prob: BAProblem, refine_focal: bool,
             return r, Jc, Jp
 
         r, Jc, Jp = jax.vmap(one_ph)(q, t, fpar, X, prob.obs_xy)
-        return r, Jc, Jp, jnp.zeros(r.shape + (1,), r.dtype)
+        return r, Jc, Jp, jnp.zeros(r.shape + (G,), r.dtype)
+
+    if not refine_int:
+        def one(qv, tv, m, p, x, xy):
+            f = lambda dc, dp: _project_one(dc, dp, zerosG, qv, tv, m, p,
+                                            x, xy)
+            r = f(zeros6, zeros3)
+            Jc, Jp = jax.jacfwd(f, argnums=(0, 1))(zeros6, zeros3)
+            return r, Jc, Jp
+
+        r, Jc, Jp = jax.vmap(one)(q, t, mid, par, X, prob.obs_xy)
+        return r, Jc, Jp, jnp.zeros(r.shape + (G,), r.dtype)
 
     def one(qv, tv, m, p, x, xy):
-        f = lambda dc, dp, df: _project_one(dc, dp, df, qv, tv, m, p, x, xy)
-        r = f(zeros6, zeros3, zeros2)
-        Jc, Jp, Jf = jax.jacfwd(f, argnums=(0, 1, 2))(zeros6, zeros3, zeros2)
-        return r, Jc, Jp, Jf[:, :1]
+        f = lambda dc, dp, dg: _project_one(dc, dp, dg, qv, tv, m, p, x, xy)
+        r = f(zeros6, zeros3, zerosG)
+        Jc, Jp, Jg = jax.jacfwd(f, argnums=(0, 1, 2))(zeros6, zeros3,
+                                                      zerosG)
+        return r, Jc, Jp, Jg
 
-    r, Jc, Jp, Jf = jax.vmap(one)(q, t, mid, par, X, prob.obs_xy)
-    if not refine_focal:
-        Jf = jnp.zeros_like(Jf)
-    return r, Jc, Jp, Jf
+    r, Jc, Jp, Jg = jax.vmap(one)(q, t, mid, par, X, prob.obs_xy)
+    Jg = Jg * prob.cam_refine[cidx][:, None, :]
+    return r, Jc, Jp, Jg
 
 
 def _robust_weights(r2: jax.Array, loss: str, scale: float):
@@ -474,6 +505,275 @@ def _build_and_solve_matmul(prob: BAProblem, r_w, Jc_w, Jp_w, lam,
     return dcam, dpt
 
 
+def _build_and_solve_joint(prob: BAProblem, r_w, Jc_w, Jp_w, Jg_w, lam,
+                           opts: BAOptions):
+    """Dense joint camera-side Schur solve: poses (I,6) + per-camera
+    intrinsics (C,8) eliminated together, points Schur-eliminated.
+
+    Mirrors the reference's Ceres behavior where camera intrinsics are
+    ordinary variable blocks in the reduced camera system
+    (optim/bundle_adjustment.cc:338; refine flags at
+    bundle_adjustment.h:97-162). Intrinsics of a camera shared by many
+    images form ONE block — all observations of all its images
+    contribute, via a (N,C) one-hot fold (scatter-free, MXU-shaped).
+
+    Returns (dcam (I,6), dint (C,8), dpt (P,3)).
+    """
+    I = prob.image_qvec.shape[0]
+    C = prob.cam_params.shape[0]
+    G = Jg_w.shape[-1]
+    dtype = r_w.dtype
+    eye6 = jnp.eye(6, dtype=dtype)
+    eyeG = jnp.eye(G, dtype=dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    cidx = prob.image_camidx[prob.obs_image]                # (N,)
+    E = jax.nn.one_hot(prob.obs_image, I, dtype=dtype)      # (N, I)
+    F = jax.nn.one_hot(cidx, C, dtype=dtype)                # (N, C)
+    camhot = jax.nn.one_hot(prob.image_camidx, C, dtype=dtype)  # (I, C)
+
+    # direct camera-side normal-equation terms
+    U_pp = jnp.einsum("ni,nra,nrb->iab", E, Jc_w, Jc_w)     # (I,6,6)
+    U_gg = jnp.einsum("nc,nra,nrb->cab", F, Jg_w, Jg_w)     # (C,G,G)
+    # pose-intrinsics cross term of image i lives at block (i, cam(i))
+    U_pg = jnp.einsum("ni,nra,nrb->iab", E, Jc_w, Jg_w)     # (I,6,G)
+    g_p = -jnp.einsum("ni,nra,nr->ia", E, Jc_w, r_w)        # (I,6)
+    g_g = -jnp.einsum("nc,nra,nr->ca", F, Jg_w, r_w)        # (C,G)
+
+    # point blocks
+    tmask = prob.trk_mask.astype(dtype)[..., None, None]
+    Jp_slot = Jp_w[prob.trk_obs] * tmask
+    r_slot = r_w[prob.trk_obs] * tmask[..., 0]
+    V = jnp.einsum("ptri,ptrj->pij", Jp_slot, Jp_slot)
+    gp = -jnp.einsum("ptri,ptr->pi", Jp_slot, r_slot)
+
+    U_ppd = U_pp + lam * eye6[None] * jnp.maximum(
+        jnp.diagonal(U_pp, axis1=-2, axis2=-1), 1e-6)[..., None]
+    U_ggd = U_gg + lam * eyeG[None] * jnp.maximum(
+        jnp.diagonal(U_gg, axis1=-2, axis2=-1), 1e-6)[..., None]
+    Vd = V + (lam * jnp.maximum(
+        jnp.diagonal(V, axis1=-2, axis2=-1), 1e-6)[..., None]
+        + opts.point_damping) * eye3[None]
+    Vinv = _inv3(Vd + 1e-12 * eye3[None])
+
+    Wc = jnp.einsum("nri,nrj->nij", Jc_w, Jp_w)             # (N,6,3)
+    Wg = jnp.einsum("nri,nrj->nij", Jg_w, Jp_w)             # (N,G,3)
+    Yc = jnp.einsum("nij,njk->nik", Wc, Vinv[prob.obs_point])
+    Yg = jnp.einsum("nij,njk->nik", Wg, Vinv[prob.obs_point])
+    gpo = gp[prob.obs_point]
+    g_p = g_p - jnp.einsum("ni,nak,nk->ia", E, Yc, gpo)
+    g_g = g_g - jnp.einsum("nc,nak,nk->ca", F, Yg, gpo)
+
+    # Schur corrections via per-point block aggregates
+    t0 = tmask[..., 0]
+    E_slot = E[prob.trk_obs] * t0                           # (P,T,I)
+    F_slot = F[prob.trk_obs] * t0                           # (P,T,C)
+    Yc_slot = Yc[prob.trk_obs] * tmask
+    Wc_slot = Wc[prob.trk_obs] * tmask
+    Yg_slot = Yg[prob.trk_obs] * tmask
+    Wg_slot = Wg[prob.trk_obs] * tmask
+    A_c = jnp.einsum("pti,ptak->piak", E_slot, Yc_slot)     # (P,I,6,3)
+    B_c = jnp.einsum("pti,ptak->piak", E_slot, Wc_slot)
+    A_g = jnp.einsum("ptc,ptak->pcak", F_slot, Yg_slot)     # (P,C,G,3)
+    B_g = jnp.einsum("ptc,ptak->pcak", F_slot, Wg_slot)
+    S_pp = -jnp.einsum("piak,pjbk->ijab", A_c, B_c)
+    S_pg = -jnp.einsum("piak,pcbk->icab", A_c, B_g)         # (I,C,6,G)
+    S_gg = -jnp.einsum("pcak,pdbk->cdab", A_g, B_g)
+    S_pp = S_pp.at[jnp.arange(I), jnp.arange(I)].add(U_ppd)
+    S_gg = S_gg.at[jnp.arange(C), jnp.arange(C)].add(U_ggd)
+    S_pg = S_pg + camhot[:, :, None, None] * U_pg[:, None, :, :]
+
+    # assemble symmetric (D, D), D = I*6 + C*G
+    Spp = S_pp.transpose(0, 2, 1, 3).reshape(I * 6, I * 6)
+    Spg = S_pg.transpose(0, 2, 1, 3).reshape(I * 6, C * G)
+    Sgg = S_gg.transpose(0, 2, 1, 3).reshape(C * G, C * G)
+    Sfull = jnp.concatenate([
+        jnp.concatenate([Spp, Spg], axis=1),
+        jnp.concatenate([Spg.T, Sgg], axis=1)], axis=0)
+    bfull = jnp.concatenate([g_p.reshape(-1), g_g.reshape(-1)])
+
+    free_p = (~prob.const_image).astype(dtype)
+    freevec = jnp.concatenate([
+        jnp.repeat(free_p, 6),
+        (prob.cam_refine > 0).astype(dtype).reshape(-1)])
+    Sfull = Sfull * freevec[:, None] * freevec[None, :] + \
+        jnp.diag(1.0 - freevec)
+    bfull = bfull * freevec
+    Sfull = 0.5 * (Sfull + Sfull.T)
+    D = I * 6 + C * G
+    L, low = jax.scipy.linalg.cho_factor(
+        Sfull + 1e-10 * jnp.eye(D, dtype=dtype))
+    sol = jax.scipy.linalg.cho_solve((L, low), bfull) * freevec
+    dcam = sol[: I * 6].reshape(I, 6)
+    dint = sol[I * 6:].reshape(C, G)
+
+    # back-substitute points
+    dc_slots = dcam[prob.obs_image[prob.trk_obs]] * prob.trk_mask[..., None]
+    dg_slots = dint[cidx[prob.trk_obs]] * prob.trk_mask[..., None]
+    wtd = jnp.einsum("ptij,pti->pj", Wc_slot, dc_slots) + \
+        jnp.einsum("ptij,pti->pj", Wg_slot, dg_slots)
+    dpt = jnp.einsum("pij,pj->pi", Vinv, gp - wtd)
+    dpt = dpt * (~prob.const_points)[:, None].astype(dtype)
+    return dcam * free_p[:, None], dint, dpt
+
+
+def _build_and_solve_iterative_joint(prob: BAProblem, r_w, Jc_w, Jp_w,
+                                     Jg_w, lam, opts: BAOptions):
+    """ITERATIVE_SCHUR with intrinsics: matrix-free PCG on the joint
+    camera-side system (poses + per-camera intrinsics), SCHUR_JACOBI
+    block preconditioner (pose blocks + intrinsics blocks, coupling
+    dropped from the preconditioner only).
+
+    Intrinsic-block reductions happen in two scatter-free hops:
+    per-image sums through cam_obs slots, then an (I,C) one-hot fold —
+    the (N,C) one-hot never materializes.
+    """
+    I = prob.image_qvec.shape[0]
+    C = prob.cam_params.shape[0]
+    G = Jg_w.shape[-1]
+    dtype = r_w.dtype
+    eye6 = jnp.eye(6, dtype=dtype)
+    eyeG = jnp.eye(G, dtype=dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    free = (~prob.const_image).astype(dtype)
+    gfree = (prob.cam_refine > 0).astype(dtype)             # (C,G)
+    camhot = jax.nn.one_hot(prob.image_camidx, C, dtype=dtype)  # (I,C)
+    cidx = prob.image_camidx[prob.obs_image]
+
+    cmask = prob.cam_mask.astype(dtype)[..., None, None]
+    Jc_slot = Jc_w[prob.cam_obs] * cmask                    # (I,M,2,6)
+    Jg_slot = Jg_w[prob.cam_obs] * cmask                    # (I,M,2,G)
+    rc_slot = r_w[prob.cam_obs] * cmask[..., 0]
+    U_pp = jnp.einsum("imra,imrb->iab", Jc_slot, Jc_slot)
+    U_gg_img = jnp.einsum("imra,imrb->iab", Jg_slot, Jg_slot)  # (I,G,G)
+    U_pg = jnp.einsum("imra,imrb->iab", Jc_slot, Jg_slot)   # (I,6,G)
+    gc = -jnp.einsum("imra,imr->ia", Jc_slot, rc_slot)
+    gg_img = -jnp.einsum("imra,imr->ia", Jg_slot, rc_slot)  # (I,G)
+    U_gg = jnp.einsum("ic,iab->cab", camhot, U_gg_img)      # (C,G,G)
+    gg = jnp.einsum("ic,ia->ca", camhot, gg_img)            # (C,G)
+
+    tmask = prob.trk_mask.astype(dtype)[..., None, None]
+    Jp_slot = Jp_w[prob.trk_obs] * tmask
+    rp_slot = r_w[prob.trk_obs] * tmask[..., 0]
+    V = jnp.einsum("ptri,ptrj->pij", Jp_slot, Jp_slot)
+    gp = -jnp.einsum("ptri,ptr->pi", Jp_slot, rp_slot)
+
+    U_ppd = U_pp + lam * eye6[None] * jnp.maximum(
+        jnp.diagonal(U_pp, axis1=-2, axis2=-1), 1e-6)[..., None]
+    U_ggd = U_gg + lam * eyeG[None] * jnp.maximum(
+        jnp.diagonal(U_gg, axis1=-2, axis2=-1), 1e-6)[..., None]
+    Vd = V + (lam * jnp.maximum(
+        jnp.diagonal(V, axis1=-2, axis2=-1), 1e-6)[..., None]
+        + opts.point_damping) * eye3[None]
+    Vinv = _inv3(Vd + 1e-12 * eye3[None])
+
+    Wc = jnp.einsum("nri,nrj->nij", Jc_w, Jp_w)             # (N,6,3)
+    Wg = jnp.einsum("nri,nrj->nij", Jg_w, Jp_w)             # (N,G,3)
+    WcVinv = jnp.einsum("nij,njk->nik", Wc, Vinv[prob.obs_point])
+    WgVinv = jnp.einsum("nij,njk->nik", Wg, Vinv[prob.obs_point])
+
+    def cam_reduce(z):
+        z_slot = z[prob.cam_obs] * prob.cam_mask[..., None].astype(dtype)
+        return jnp.sum(z_slot, axis=1)                      # (I, ...)
+
+    def fold(z_img):
+        return jnp.einsum("ic,ia->ca", camhot, z_img)       # (C, ...)
+
+    gpo = gp[prob.obs_point]
+    b_p = gc - cam_reduce(jnp.einsum("nik,nk->ni", WcVinv, gpo))
+    b_g = gg - fold(cam_reduce(jnp.einsum("nik,nk->ni", WgVinv, gpo)))
+    b_p = b_p * free[:, None]
+    b_g = b_g * gfree
+
+    # SCHUR_JACOBI: diagonal pose + intrinsics blocks of S
+    Bc = jnp.einsum("nik,njk->nij", WcVinv, Wc)
+    Sdiag_p = U_ppd - cam_reduce(Bc.reshape(-1, 36)).reshape(I, 6, 6)
+    Sdiag_p = Sdiag_p * free[:, None, None] + \
+        (1.0 - free)[:, None, None] * eye6[None]
+    Sdiag_p = 0.5 * (Sdiag_p + jnp.swapaxes(Sdiag_p, -1, -2)) \
+        + 1e-10 * eye6[None]
+    Minv_p = jnp.linalg.solve(Sdiag_p, jnp.broadcast_to(
+        eye6, Sdiag_p.shape))
+    Bg = jnp.einsum("nik,njk->nij", WgVinv, Wg)
+    Sdiag_g = U_ggd - fold(cam_reduce(
+        Bg.reshape(-1, G * G)).reshape(I, G * G)).reshape(C, G, G)
+    gf2 = gfree[:, :, None] * gfree[:, None, :]
+    Sdiag_g = Sdiag_g * gf2 + (1.0 - gfree)[:, :, None] * eyeG[None] * \
+        jnp.ones((C, 1, 1), dtype)
+    Sdiag_g = 0.5 * (Sdiag_g + jnp.swapaxes(Sdiag_g, -1, -2)) \
+        + 1e-10 * eyeG[None]
+    Minv_g = jnp.linalg.solve(Sdiag_g, jnp.broadcast_to(
+        eyeG, Sdiag_g.shape))
+
+    def S_mv(xp, xg):
+        xpm = xp * free[:, None]
+        xgm = xg * gfree
+        u = jnp.einsum("nij,ni->nj", Wc, xpm[prob.obs_image]) + \
+            jnp.einsum("nij,ni->nj", Wg, xgm[cidx])          # (N,3)
+        u_slot = u[prob.trk_obs] * prob.trk_mask[..., None].astype(dtype)
+        y = jnp.einsum("pij,pj->pi", Vinv, jnp.sum(u_slot, axis=1))
+        yo = y[prob.obs_point]
+        zc = cam_reduce(jnp.einsum("nij,nj->ni", Wc, yo))    # (I,6)
+        zg = fold(cam_reduce(jnp.einsum("nij,nj->ni", Wg, yo)))  # (C,G)
+        Sxp = jnp.einsum("iab,ib->ia", U_ppd, xpm) + \
+            jnp.einsum("iab,ib->ia", U_pg, xgm[prob.image_camidx]) - zc
+        Sxg = jnp.einsum("cab,cb->ca", U_ggd, xgm) + \
+            fold(jnp.einsum("iab,ia->ib", U_pg, xpm)) - zg
+        Sxp = Sxp * free[:, None] + xp * (1.0 - free)[:, None]
+        Sxg = Sxg * gfree + xg * (1.0 - gfree)
+        return Sxp, Sxg
+
+    def precond(vp, vg):
+        return (jnp.einsum("iab,ib->ia", Minv_p, vp),
+                jnp.einsum("cab,cb->ca", Minv_g, vg))
+
+    def dot(ap, ag, bp, bg):
+        return jnp.sum(ap * bp) + jnp.sum(ag * bg)
+
+    bnorm = jnp.sqrt(dot(b_p, b_g, b_p, b_g))
+    tol = opts.linear_rtol * jnp.maximum(bnorm, 1e-30)
+
+    xp0 = jnp.zeros_like(b_p)
+    xg0 = jnp.zeros_like(b_g)
+    rp0, rg0 = b_p, b_g
+    zp0, zg0 = precond(rp0, rg0)
+    rz0 = dot(rp0, rg0, zp0, zg0)
+
+    def cond(state):
+        k, _, _, rp, rg, _, _, _ = state
+        return (k < opts.max_linear_iterations) & \
+            (jnp.sqrt(dot(rp, rg, rp, rg)) > tol)
+
+    def body(state):
+        k, xp, xg, rp, rg, pp, pg, rz = state
+        Ap, Ag = S_mv(pp, pg)
+        pAp = dot(pp, pg, Ap, Ag)
+        alpha = rz / jnp.where(jnp.abs(pAp) < 1e-30, 1e-30, pAp)
+        xp = xp + alpha * pp
+        xg = xg + alpha * pg
+        rp = rp - alpha * Ap
+        rg = rg - alpha * Ag
+        zp, zg = precond(rp, rg)
+        rz_new = dot(rp, rg, zp, zg)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
+        return k + 1, xp, xg, rp, rg, zp + beta * pp, zg + beta * pg, rz_new
+
+    _, dcam, dint, *_ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), xp0, xg0, rp0, rg0, zp0, zg0, rz0))
+    dcam = dcam * free[:, None]
+    dint = dint * gfree
+
+    slot_Wc = Wc[prob.trk_obs] * tmask
+    slot_Wg = Wg[prob.trk_obs] * tmask
+    dc_slots = dcam[prob.obs_image[prob.trk_obs]] * prob.trk_mask[..., None]
+    dg_slots = dint[cidx[prob.trk_obs]] * prob.trk_mask[..., None]
+    wtd = jnp.einsum("ptij,pti->pj", slot_Wc, dc_slots) + \
+        jnp.einsum("ptij,pti->pj", slot_Wg, dg_slots)
+    dpt = jnp.einsum("pij,pj->pi", Vinv, gp - wtd)
+    dpt = dpt * (~prob.const_points)[:, None].astype(dtype)
+    return dcam, dint, dpt
+
+
 def _build_and_solve_iterative(prob: BAProblem, r_w, Jc_w, Jp_w, lam,
                                opts: BAOptions):
     """ITERATIVE_SCHUR regime: SCHUR_JACOBI-preconditioned CG on the
@@ -594,10 +894,15 @@ def _build_and_solve_iterative(prob: BAProblem, r_w, Jc_w, Jp_w, lam,
     return dcam, dpt
 
 
-def _build_and_solve(prob: BAProblem, r, Jc, Jp, w, lam, opts: BAOptions):
+def _refine_any(opts: BAOptions) -> bool:
+    return opts.refine_focal or opts.refine_principal or opts.refine_extra
+
+
+def _build_and_solve(prob: BAProblem, r, Jc, Jp, Jg, w, lam,
+                     opts: BAOptions):
     """One damped Gauss-Newton step via dense Schur complement.
 
-    Returns (dcam (I, 6), dpt (P, 3)).
+    Returns (dcam (I, 6), dint (C, 8), dpt (P, 3)).
     """
     I = prob.image_qvec.shape[0]
     P = prob.points.shape[0]
@@ -616,8 +921,22 @@ def _build_and_solve(prob: BAProblem, r, Jc, Jp, w, lam, opts: BAOptions):
     solver = opts.solver
     if solver == "auto":
         solver = "iterative" if I > opts.dense_threshold else "dense"
+
+    if _refine_any(opts):
+        # intrinsics observations of const images still constrain the
+        # (shared) camera — weight Jg by robust weights only
+        Jg_w = Jg * sw
+        if solver == "iterative":
+            return _build_and_solve_iterative_joint(
+                prob, r_w, Jc_w, Jp_w, Jg_w, lam, opts)
+        return _build_and_solve_joint(prob, r_w, Jc_w, Jp_w, Jg_w, lam,
+                                      opts)
+
+    dint0 = jnp.zeros_like(prob.cam_refine)
     if solver == "iterative":
-        return _build_and_solve_iterative(prob, r_w, Jc_w, Jp_w, lam, opts)
+        dcam, dpt = _build_and_solve_iterative(prob, r_w, Jc_w, Jp_w,
+                                               lam, opts)
+        return dcam, dint0, dpt
 
     T = prob.trk_obs.shape[1]
     N = r.shape[0]
@@ -633,7 +952,9 @@ def _build_and_solve(prob: BAProblem, r, Jc, Jp, w, lam, opts: BAOptions):
             mode = "scan"
 
     if mode == "matmul":
-        return _build_and_solve_matmul(prob, r_w, Jc_w, Jp_w, lam, opts)
+        dcam, dpt = _build_and_solve_matmul(prob, r_w, Jc_w, Jp_w, lam,
+                                            opts)
+        return dcam, dint0, dpt
 
     # blocks
     U = jax.ops.segment_sum(
@@ -709,15 +1030,21 @@ def _build_and_solve(prob: BAProblem, r, Jc, Jp, w, lam, opts: BAOptions):
     dpt = jnp.einsum("pij,pj->pi", Vinv, gp - wtd)
     dpt = dpt * (~prob.const_points)[:, None].astype(dtype)
     dcam = dcam * free[:, None]
-    return dcam, dpt
+    return dcam, dint0, dpt
 
 
-def _apply_step(prob: BAProblem, dcam, dpt, dfoc=None) -> BAProblem:
+def _apply_step(prob: BAProblem, dcam, dpt, dint=None) -> BAProblem:
     dq = rops.angleaxis_to_quat(dcam[:, :3])
     q = rops.quat_normalize(rops.quat_multiply(dq, prob.image_qvec))
     t = prob.image_tvec + dcam[:, 3:]
     pts = prob.points + dpt
-    return prob._replace(image_qvec=q, image_tvec=t, points=pts)
+    out = prob._replace(image_qvec=q, image_tvec=t, points=pts)
+    if dint is not None:
+        dint = dint * prob.cam_refine
+        params = jax.vmap(cm.apply_intrinsics_delta)(
+            prob.cam_model_id, prob.cam_params, dint)
+        out = out._replace(cam_params=params)
+    return out
 
 
 def compute_cost(prob: BAProblem, opts: BAOptions) -> jax.Array:
@@ -755,45 +1082,45 @@ def solve(prob: BAProblem, opts: BAOptions = BAOptions()):
 
     Returns (problem, BAStats). Jit-safe; call under jax.jit for speed.
     """
-    if opts.refine_focal:
-        # the slim scan carry below holds only (qvec, tvec, points); an
-        # accepted focal update to cam_params would be silently dropped.
-        raise NotImplementedError(
-            "refine_focal is not wired into solve(); the LM carry would "
-            "drop accepted cam_params updates")
+    refine = _refine_any(opts)
+    pinhole_only = opts.pinhole_only and not refine
     init_cost = _plain_cost(prob, opts)
 
     # only the optimized state rides the scan carry; the (much larger)
     # static observation/track arrays are closed over, so the
-    # accept/reject select touches three small arrays instead of the
-    # whole problem pytree
+    # accept/reject select touches four small arrays instead of the
+    # whole problem pytree. cam_params rides the carry so accepted
+    # intrinsics updates persist (the round-2 NotImplementedError guard
+    # is gone: the carry now includes them).
     def lm_iter(carry, _):
-        (q, t, X), lam, cost = carry
-        p = prob._replace(image_qvec=q, image_tvec=t, points=X)
-        r, Jc, Jp, Jf = _residuals_and_jacobians(p, opts.refine_focal,
-                                                 opts.pinhole_only)
+        (q, t, X, cp), lam, cost = carry
+        p = prob._replace(image_qvec=q, image_tvec=t, points=X,
+                          cam_params=cp)
+        r, Jc, Jp, Jg = _residuals_and_jacobians(p, refine, pinhole_only)
         r2 = jnp.sum(r * r, axis=-1)
         w = _robust_weights(r2, opts.loss, opts.loss_scale)
-        dcam, dpt = _build_and_solve(p, r, Jc, Jp, w, lam, opts)
-        trial = _apply_step(p, dcam, dpt)
+        dcam, dint, dpt = _build_and_solve(p, r, Jc, Jp, Jg, w, lam, opts)
+        trial = _apply_step(p, dcam, dpt, dint if refine else None)
         new_cost = _plain_cost(trial, opts)
         accept = new_cost < cost
         state = jax.tree.map(
             lambda a, b: jnp.where(accept, a, b),
-            (trial.image_qvec, trial.image_tvec, trial.points),
-            (q, t, X))
+            (trial.image_qvec, trial.image_tvec, trial.points,
+             trial.cam_params),
+            (q, t, X, cp))
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-10),
                         jnp.minimum(lam * 4.0, 1e6))
         return (state, lam, cost), cost
 
     lam0 = jnp.asarray(opts.init_lambda, prob.obs_xy.dtype)
-    state0 = (prob.image_qvec, prob.image_tvec, prob.points)
+    state0 = (prob.image_qvec, prob.image_tvec, prob.points,
+              prob.cam_params)
     (state, lam, cost), _ = jax.lax.scan(
         lm_iter, (state0, lam0, init_cost), None,
         length=opts.max_iterations)
     prob = prob._replace(image_qvec=state[0], image_tvec=state[1],
-                         points=state[2])
+                         points=state[2], cam_params=state[3])
     stats = BAStats(init_cost, cost, jnp.asarray(opts.max_iterations), lam)
     return prob, stats
 

@@ -61,6 +61,14 @@ class MapperOptions:
     # transitive correspondence depth when completing tracks (ref
     # correspondence_graph.h FindTransitiveCorrespondences)
     complete_transitivity: int = 5
+    # intrinsics refinement during BA for cameras WITHOUT a focal prior
+    # (ref incremental_mapper_controller.h:100-110 defaults:
+    # ba_refine_focal_length=true, ba_refine_principal_point=false,
+    # ba_refine_extra_params=true; cameras with prior_focal keep their
+    # calibration fixed — the EXIF/user-provided value is trusted)
+    ba_refine_focal: bool = True
+    ba_refine_principal: bool = False
+    ba_refine_extra: bool = True
     local_ba_num_images: int = 6
     ba_global_images_ratio: float = 1.1
     ba_global_points_ratio: float = 1.1
@@ -319,7 +327,14 @@ class IncrementalMapper:
         Xp = _pad_to(X, n)
 
         cam = self._cam_of(image_id)
-        if not cam.prior_focal:
+        # focal-grid search only for a camera's FIRST registration
+        # (matching the reference: once other images of the camera are
+        # registered, BA refinement owns the focal — re-running the
+        # coarse grid would re-quantize a BA-polished value)
+        cam_in_use = any(
+            self.rec.images[j].camera_id == cam.camera_id
+            for j in self.rec.reg_image_ids)
+        if not cam.prior_focal and not cam_in_use:
             # unknown calibration: focal-grid P3P search (ref pose.cc:79)
             K = cam.calibration_matrix()
             centered = self.rec.images[image_id].xys[kp_idx] - K[:2, 2]
@@ -650,10 +665,30 @@ class IncrementalMapper:
             const[k] = i in const_images
         if const[: len(img_ids)].sum() == 0 and len(img_ids) >= 2:
             const[:2] = True
+        # intrinsics refinement for cameras without a focal prior (ref
+        # optim/bundle_adjustment.cc:338 camera params as variable
+        # blocks; gated per-camera by prior_focal)
+        eligible = np.array([not self.rec.cameras[c].prior_focal
+                             for c in cam_ids], bool)
+        refine_on = bool(eligible.any()) and (
+            self.opts.ba_refine_focal or self.opts.ba_refine_principal
+            or self.opts.ba_refine_extra)
+        cam_refine = None
+        if refine_on:
+            cam_refine = cm.intrinsics_refine_mask(
+                arrays.cam_model_id, self.opts.ba_refine_focal,
+                self.opts.ba_refine_principal, self.opts.ba_refine_extra,
+                eligible=eligible)
         prob = ba.make_problem(arrays, max_track_len=self.opts.max_track_len,
-                               const_image=const)
+                               const_image=const, cam_refine=cam_refine)
         opts = ba.BAOptions(max_iterations=max_iterations, loss="cauchy",
                             loss_scale=1.0,
+                            refine_focal=refine_on and
+                            self.opts.ba_refine_focal,
+                            refine_principal=refine_on and
+                            self.opts.ba_refine_principal,
+                            refine_extra=refine_on and
+                            self.opts.ba_refine_extra,
                             pinhole_only=ba.all_pinhole(arrays))
         prob, stats = _jit_ba_solve(prob, opts)
         # write back
@@ -666,6 +701,13 @@ class IncrementalMapper:
         for k, p in enumerate(pt_ids):
             if p in self.rec.points3D:
                 self.rec.points3D[p].xyz = X[k]
+        if refine_on:
+            newp = np.asarray(prob.cam_params)
+            for k, c in enumerate(cam_ids):
+                cam = self.rec.cameras[c]
+                n = len(cam.params)
+                self.rec.cameras[c] = cam._replace(
+                    params=tuple(float(v) for v in newp[k, :n]))
 
     def adjust_local_bundle(self, image_id: int):
         """BA over the most-connected registered neighbors (ref :563)."""

@@ -142,3 +142,34 @@ def test_solver_cache_reuse():
     r1 = ba_sharded._cached_solver(mesh, opts, "dense", False)
     r2 = ba_sharded._cached_solver(mesh, opts, "dense", False)
     assert r1 is r2
+
+
+def test_sharded_intrinsics_refinement():
+    """Sharded joint PCG recovers a perturbed focal + k1 (parity with
+    the single-chip joint solver; ref refines intrinsics by default)."""
+    from dagsfm_tpu.scene import cameras as cm
+    from dagsfm_tpu.scene import synthetic
+    mesh8 = make_mesh(8)
+    spec = synthetic.SyntheticSceneSpec(
+        num_cameras=12, num_points=200, seed=11,
+        camera_model="SIMPLE_RADIAL")
+    sc = synthetic.generate(spec)
+    arrays = synthetic.to_scene_arrays(sc, dtype=np.float64)
+    cp = np.array(arrays.cam_params)
+    f_gt = cp[0, 0]
+    cp[0, 0] *= 1.08
+    cp[0, 3] = 0.03
+    arrays = arrays._replace(cam_params=cp)
+    refine = cm.intrinsics_refine_mask(
+        arrays.cam_model_id, refine_focal=True, refine_principal=False,
+        refine_extra=True)
+    prob, shard_pts = ba_sharded.shard_problem(arrays, 8, cam_refine=refine)
+    prob = ba_sharded.place(prob, mesh8)
+    opts = ba.BAOptions(max_iterations=25, refine_focal=True,
+                        refine_extra=True, loss_scale=2.0)
+    out, stats = ba_sharded.solve_sharded(prob, mesh8, opts)
+    f_rec = float(out.cam_params[0, 0])
+    k_rec = float(out.cam_params[0, 3])
+    assert abs(f_rec - f_gt) / f_gt < 0.01, (f_rec, f_gt)
+    assert abs(k_rec) < 0.01, k_rec
+    assert float(stats.final_cost) < 0.05 * float(stats.initial_cost)

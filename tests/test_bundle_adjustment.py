@@ -163,3 +163,72 @@ class TestIterativeSchur:
         # converges to ~pixel-noise level
         assert float(ba.mean_reproj_error_px(out)) < 0.5
         assert float(stats.final_cost) < 0.2 * float(stats.initial_cost)
+
+
+class TestIntrinsicsRefinement:
+    """BA recovers perturbed camera intrinsics (ref refines focal +
+    extra params by default: optim/bundle_adjustment.cc:338,
+    incremental_mapper_controller.h:100-110)."""
+
+    def _perturbed_intrinsics_problem(self, seed=5, num_cameras=10,
+                                      num_points=150):
+        from dagsfm_tpu.scene import cameras as cm
+        spec = synthetic.SyntheticSceneSpec(
+            num_cameras=num_cameras, num_points=num_points, seed=seed,
+            camera_model="SIMPLE_RADIAL")
+        sc = synthetic.generate(spec)
+        rec = synthetic.to_reconstruction(sc)
+        arrays, _ = rec.to_arrays()
+        cp = np.array(arrays.cam_params)
+        f_gt = cp[0, 0]
+        cp[0, 0] *= 1.10      # +10% focal error
+        cp[0, 3] = 0.05       # k1 error (ground truth k=0)
+        arrays = arrays._replace(cam_params=cp)
+        const = np.zeros(arrays.image_qvec.shape[0], bool)
+        const[:2] = True
+        refine = cm.intrinsics_refine_mask(
+            arrays.cam_model_id, refine_focal=True,
+            refine_principal=False, refine_extra=True)
+        prob = ba.make_problem(arrays, const_image=const,
+                               cam_refine=refine)
+        return prob, f_gt
+
+    def test_recovers_focal_and_k1_dense(self):
+        prob, f_gt = self._perturbed_intrinsics_problem()
+        before = float(ba.mean_reproj_error_px(prob))
+        assert before > 2.0  # intrinsics error clearly visible
+        opts = ba.BAOptions(max_iterations=30, loss="trivial",
+                            refine_focal=True, refine_extra=True)
+        out, _ = jax.jit(lambda p: ba.solve(p, opts))(prob)
+        f_rec = float(out.cam_params[0, 0])
+        k_rec = float(out.cam_params[0, 3])
+        assert abs(f_rec - f_gt) / f_gt < 0.01, (f_rec, f_gt)
+        assert abs(k_rec) < 0.005, k_rec
+        assert float(ba.mean_reproj_error_px(out)) < 0.05
+
+    def test_recovers_focal_and_k1_iterative(self):
+        prob, f_gt = self._perturbed_intrinsics_problem(seed=6)
+        opts = ba.BAOptions(max_iterations=30, loss="trivial",
+                            refine_focal=True, refine_extra=True,
+                            solver="iterative")
+        out, _ = jax.jit(lambda p: ba.solve(p, opts))(prob)
+        f_rec = float(out.cam_params[0, 0])
+        k_rec = float(out.cam_params[0, 3])
+        assert abs(f_rec - f_gt) / f_gt < 0.01, (f_rec, f_gt)
+        assert abs(k_rec) < 0.01, k_rec
+        assert float(ba.mean_reproj_error_px(out)) < 0.1
+
+    def test_refine_mask_respected(self):
+        """Slots outside the refine mask must not move."""
+        from dagsfm_tpu.scene import cameras as cm
+        prob, f_gt = self._perturbed_intrinsics_problem(seed=7)
+        # focal-only refinement: k1 stays at its (wrong) prior
+        refine = cm.intrinsics_refine_mask(
+            np.asarray(prob.cam_model_id), refine_focal=True,
+            refine_principal=False, refine_extra=False)
+        prob = prob._replace(cam_refine=jnp.asarray(refine, jnp.float64))
+        opts = ba.BAOptions(max_iterations=10, loss="trivial",
+                            refine_focal=True)
+        out, _ = ba.solve(prob, opts)
+        assert float(out.cam_params[0, 3]) == 0.05
+        assert float(out.cam_params[0, 1]) == float(prob.cam_params[0, 1])

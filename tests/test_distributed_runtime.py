@@ -224,3 +224,48 @@ class TestTwoProcessWorkers:
             os.path.join(wd, "partition0", "cameras.bin"))
         assert os.path.exists(
             os.path.join(wd, "partition1", "cameras.bin"))
+
+
+def _lease_claim_worker(work_dir, host_id, barrier, q):
+    # child imports only the (numpy-only) distributed module — never jax
+    from dagsfm_tpu.parallel.distributed import ClusterJobRunner
+    runner = ClusterJobRunner(work_dir, host_id)
+    barrier.wait()  # all processes claim at the same instant
+    q.put((host_id, runner.claim(0)))
+
+
+class TestAtomicLeaseContention:
+    """Simultaneous claims of the same cluster must produce EXACTLY one
+    winner (O_CREAT|O_EXCL; the round-2 check-then-write race is gone)."""
+
+    def test_barrier_synced_claims_one_winner(self, tmp_path):
+        import multiprocessing as mp
+
+        # spawn (not fork): the parent holds live jax threads by this
+        # point in the suite and forking a threaded process can deadlock
+        ctx = mp.get_context("spawn")
+        n_procs = 6
+        barrier = ctx.Barrier(n_procs)
+        q = ctx.Queue()
+        procs = [ctx.Process(target=_lease_claim_worker,
+                             args=(str(tmp_path), h, barrier, q))
+                 for h in range(n_procs)]
+        for p in procs:
+            p.start()
+        results = [q.get(timeout=120) for _ in range(n_procs)]
+        for p in procs:
+            p.join(timeout=60)
+        winners = [h for h, ok in results if ok]
+        assert len(winners) == 1, f"lease race: winners={winners}"
+
+    def test_failure_tombstone_bounds_retries(self, tmp_path):
+        from dagsfm_tpu.parallel.distributed import ClusterJobRunner
+        r = ClusterJobRunner(str(tmp_path), 0, max_attempts=3)
+        for attempt in range(3):
+            assert not r.is_failed(0)
+            assert r.claim(0)
+            r.record_failure(0)
+        # tombstoned: no more claims, excluded from orphan scans
+        assert r.is_failed(0)
+        assert not r.claim(0)
+        assert r.orphaned_jobs([0, 1]) == [1]

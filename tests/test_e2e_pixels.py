@@ -26,7 +26,12 @@ def test_pixels_to_model_accuracy():
     cams = {i: cm.make_simple_camera(i, spec.image_width,
                                      spec.image_height, focal=spec.focal)
             for i in images}
-    opts = FeaturePipelineOptions(batch_size=4)
+    # guided matching (ref sift.h:116-166) recovers the ratio-test-killed
+    # matches that make keypoints consistent across 3+ views — the 2D-3D
+    # correspondence supply incremental registration depends on (without
+    # it this synthetic texture yields only ~17 3-view-consistent matches
+    # per image, starving registration at ring image 7 of 12)
+    opts = FeaturePipelineOptions(batch_size=4, guided_matching=True)
     opts.sift = sift.SiftOptions(max_num_features=1024,
                                  candidates_per_octave=512, num_octaves=3)
     fp = FeaturePipeline(images, cams, opts)

@@ -184,3 +184,32 @@ class TestTriangulatorOps:
         created = mapper.retriangulate()
         assert created > 0
         assert rec.num_points3D() == n_before + created
+
+
+def test_reconstruct_recovers_unknown_focal():
+    """A camera WITHOUT a focal prior (wrong 10% initial guess) is
+    recovered by the focal-grid registration + BA intrinsics refinement
+    (ref estimators/pose.cc:79 focal grid; BA refine defaults
+    incremental_mapper_controller.h:100-110)."""
+    import dataclasses
+
+    from dagsfm_tpu.scene import cameras as cm
+
+    spec = synthetic.SyntheticSceneSpec(
+        num_cameras=12, num_points=300, pixel_noise=0.2, seed=9)
+    sc = synthetic.generate(spec)
+    cams, images, graph = synthetic.to_matching_problem(sc)
+    f_gt = sc.camera.params[0]
+    wrong = cams[1]._replace(
+        params=(f_gt * 1.10,) + tuple(cams[1].params[1:]),
+        prior_focal=False)
+    cams = {1: wrong}
+    opts = MapperOptions(init_min_num_inliers=30,
+                         num_ransac_hypotheses=256, seed=1)
+    mapper = IncrementalMapper(cams, images, graph, opts)
+    rec = mapper.reconstruct()
+    assert rec.num_reg_images() >= 11, rec.num_reg_images()
+    f_rec = rec.cameras[1].params[0]
+    assert abs(f_rec - f_gt) / f_gt < 0.02, (f_rec, f_gt)
+    errs = synthetic.pose_errors(rec, sc)
+    assert errs["ate"] < 0.05, errs
