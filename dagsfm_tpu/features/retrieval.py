@@ -63,17 +63,17 @@ def bow_histograms(desc: jax.Array, mask: jax.Array, cents: jax.Array,
     return onehot.sum(axis=1)                            # (B, k)
 
 
-def similarity_pairs(descriptors: dict, masks: dict,
-                     opts: RetrievalOptions = RetrievalOptions(),
-                     seed: int = 0) -> list:
-    """Top-num_neighbors candidate pairs per image via tf-idf BoW cosine.
+def bow_similarity_matrix(descriptors: dict, masks: dict,
+                          opts: RetrievalOptions = RetrievalOptions(),
+                          seed: int = 0):
+    """(ids, sim) — full tf-idf BoW cosine similarity matrix.
 
-    descriptors: image_id -> (K, D) np arrays. Returns list of
-    (i, j, score) with i < j, deduplicated, score-sorted descending.
+    Shared by similarity_pairs and sequential loop detection; one vocab
+    fit + one similarity matmul for the whole image set.
     """
     ids = sorted(descriptors)
     if len(ids) < 2:
-        return []
+        return ids, np.zeros((len(ids), len(ids)))
     key = jax.random.PRNGKey(seed)
     rng = np.random.default_rng(seed)
 
@@ -101,6 +101,20 @@ def similarity_pairs(descriptors: dict, masks: dict,
     v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-9)
     sim = v @ v.T
     np.fill_diagonal(sim, -1.0)
+    return ids, sim
+
+
+def similarity_pairs(descriptors: dict, masks: dict,
+                     opts: RetrievalOptions = RetrievalOptions(),
+                     seed: int = 0) -> list:
+    """Top-num_neighbors candidate pairs per image via tf-idf BoW cosine.
+
+    descriptors: image_id -> (K, D) np arrays. Returns list of
+    (i, j, score) with i < j, deduplicated, score-sorted descending.
+    """
+    ids, sim = bow_similarity_matrix(descriptors, masks, opts, seed)
+    if len(ids) < 2:
+        return []
 
     pairs = {}
     nn = min(opts.num_neighbors, len(ids) - 1)
@@ -124,14 +138,59 @@ def exhaustive_pairs(image_ids: list, block_size: int = 50) -> list:
     return out
 
 
-def sequential_pairs(image_ids: list, overlap: int = 10) -> list:
-    """Consecutive frames (ref SequentialMatchingOptions overlap=10)."""
+def sequential_pairs(image_ids: list, overlap: int = 10,
+                     loop_detection_period: int = 0,
+                     loop_detection_num_images: int = 50,
+                     descriptors: dict | None = None,
+                     masks: dict | None = None,
+                     retrieval_opts: "RetrievalOptions | None" = None,
+                     seed: int = 0) -> list:
+    """Consecutive frames (ref SequentialMatchingOptions overlap=10),
+    plus vocab-retrieval LOOP CLOSURE every `loop_detection_period`
+    images (ref SequentialFeatureMatcher, matching.h:427-448:
+    loop_detection_period=10, loop_detection_num_images=50) — without
+    it, long video sequences drift with no loop edges for rotation
+    averaging to close.
+
+    Loop detection needs `descriptors`/`masks`; the BoW similarity
+    matrix is computed ONCE for all query frames.
+    """
     out = []
     ids = sorted(image_ids)
+    have = set()
     for a in range(len(ids)):
         for d in range(1, overlap + 1):
             if a + d < len(ids):
                 out.append((ids[a], ids[a + d], 0.0))
+                have.add((ids[a], ids[a + d]))
+
+    if loop_detection_period > 0 and descriptors is not None:
+        desc_ids, sim = bow_similarity_matrix(
+            descriptors, masks, retrieval_opts or RetrievalOptions(),
+            seed=seed)
+        row_of = {im: k for k, im in enumerate(desc_ids)}
+        seq_pos = {im: k for k, im in enumerate(ids)}
+        for a in range(0, len(ids), loop_detection_period):
+            if ids[a] not in row_of:
+                continue
+            ra = row_of[ids[a]]
+            order = np.argsort(-sim[ra])
+            added = 0
+            for rb in order:
+                if added >= loop_detection_num_images:
+                    break
+                b_id = desc_ids[int(rb)]
+                b = seq_pos.get(b_id)
+                if b is None or b_id == ids[a]:
+                    continue
+                if abs(b - a) <= overlap:
+                    continue  # already a temporal neighbor
+                keyp = (ids[a], b_id) if ids[a] < b_id else (b_id, ids[a])
+                if keyp in have:
+                    continue
+                have.add(keyp)
+                out.append((keyp[0], keyp[1], float(sim[ra, rb])))
+                added += 1
     return out
 
 

@@ -305,9 +305,17 @@ class DistributedMapperController:
         self.timings["final_ba"] = time.time() - t0
 
     def separator_rmse(self, merged: Reconstruction) -> float:
-        """Reprojection RMSE over separator images (ref :919-925)."""
-        errs = []
+        """Reprojection RMSE over separator images (ref :919-925).
+
+        Projects through the FULL camera model (img_from_cam handles
+        distortion for all 11 model ids) — K-only pinhole math here
+        would misreport the comparable for any distorted camera.
+        """
+        import jax.numpy as jnp
+
+        from dagsfm_tpu.scene import cameras as cm
         sepset = set(self.separators)
+        by_cam: dict[int, list] = {}   # camera_id -> [(Xc, xy)]
         for pid, pt in merged.points3D.items():
             for (i, kp) in pt.track:
                 if i not in sepset:
@@ -317,11 +325,21 @@ class DistributedMapperController:
                 Xc = Rcw @ pt.xyz + im.tvec
                 if Xc[2] <= 1e-6:
                     continue
-                cam = self.cameras[im.camera_id]
-                K = cam.calibration_matrix()
-                uv = Xc[:2] / Xc[2] * K[0, 0] + K[:2, 2]
-                errs.append(np.sum((uv - im.xys[kp]) ** 2))
-        return float(np.sqrt(np.mean(errs))) if errs else 0.0
+                by_cam.setdefault(im.camera_id, []).append(
+                    (Xc, im.xys[kp]))
+        errs = []
+        for cid, rows in by_cam.items():
+            cam = self.cameras[cid]
+            Xc = np.stack([r[0] for r in rows])
+            xy = np.stack([r[1] for r in rows])
+            par = cm.pad_params(jnp.asarray(cam.params, jnp.float64),
+                                cam.model_id)
+            uv = np.asarray(cm.img_from_cam(cam.model_id, par,
+                                            jnp.asarray(Xc)))
+            errs.append(np.sum((uv - xy) ** 2, axis=-1))
+        if not errs:
+            return 0.0
+        return float(np.sqrt(np.mean(np.concatenate(errs))))
 
     # -------------------------------------------- checkpoint / resume
     def export_partitions(self, path: str):

@@ -61,6 +61,12 @@ class FeaturePipelineOptions:
         default_factory=rt.RetrievalOptions)
     pair_mode: str = "exhaustive"   # exhaustive | sequential | retrieval
                                     # | vocab_tree
+    # sequential mode extras (ref SequentialMatchingOptions,
+    # matching.h:427-448): temporal window + vocab loop closure every
+    # loop_detection_period frames (0 = off)
+    sequential_overlap: int = 10
+    loop_detection_period: int = 0
+    loop_detection_num_images: int = 50
     batch_size: int = 8
     min_num_inliers: int = 15       # ref sift.h min_num_inliers
     max_error_px: float = 4.0       # ref sift.h max_error
@@ -145,7 +151,14 @@ class FeaturePipeline:
         if self.opts.pair_mode == "exhaustive":
             return [(i, j) for (i, j, _) in rt.exhaustive_pairs(ids)]
         if self.opts.pair_mode == "sequential":
-            return [(i, j) for (i, j, _) in rt.sequential_pairs(ids)]
+            return [(i, j) for (i, j, _) in rt.sequential_pairs(
+                ids, overlap=self.opts.sequential_overlap,
+                loop_detection_period=self.opts.loop_detection_period,
+                loop_detection_num_images=self.opts
+                .loop_detection_num_images,
+                descriptors=self.descriptors, masks=self.masks,
+                retrieval_opts=self.opts.retrieval,
+                seed=self.opts.seed)]
         if self.opts.pair_mode == "retrieval":
             return [(i, j) for (i, j, _) in rt.similarity_pairs(
                 self.descriptors, self.masks, self.opts.retrieval,

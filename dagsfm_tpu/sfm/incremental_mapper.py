@@ -81,6 +81,12 @@ class MapperOptions:
     snapshot_images_freq: int = 0
     num_ransac_hypotheses: int = 512
     max_track_len: int = 16
+    # 'strict' = rank-one-register-one (the reference's exact loop,
+    # incremental_mapper.cc:202 FindNextImages after EVERY registration);
+    # 'batch' = register the top-5 ranked candidates per ranking round —
+    # a deliberate scaling trade that amortizes the ranking rescan at
+    # 500+ images (both modes are measured in bench_suite.py)
+    registration_mode: str = "batch"
     seed: int = 0
 
 
@@ -357,7 +363,7 @@ class IncrementalMapper:
         n_inl = int(res.num_inliers)
         if (n_inl < self.opts.abs_pose_min_num_inliers
                 or n_inl < self.opts.abs_pose_min_inlier_ratio
-                * len(kp2pts) * 0.5):
+                * len(kp2pts)):
             self._failed_regs[image_id] = \
                 self._failed_regs.get(image_id, 0) + 1
             return False
@@ -735,6 +741,10 @@ class IncrementalMapper:
             return
         const = set(reg[:2])
         self._run_ba(reg, self.opts.ba_global_max_iterations, const)
+        # drop images whose (refined) camera went degenerate (ref
+        # controller filter loop -> Reconstruction::FilterImages;
+        # round-2 gap: the filter existed but was never called)
+        self.rec.filter_images()
         self._num_reg_at_last_global_ba = len(reg)
         self._num_pts_at_last_global_ba = self.rec.num_points3D()
 
@@ -892,16 +902,18 @@ class IncrementalMapper:
         # repeated reconstruct() calls on the same mapper
         self._last_snapshot_at = self.rec.num_reg_images()
 
+        per_round = 1 if self.opts.registration_mode == "strict" else 5
         stall = 0
         while stall < 2:
             nxt = self.find_next_images()
             if not nxt:
                 break
             progressed = False
-            # register up to 5 of the ranked candidates per round (the
-            # per-round re-rank was the 500+-image scaling wall; local
-            # refinement still runs per registered image)
-            for image_id in nxt[:5]:
+            # batch mode: register up to 5 of the ranked candidates per
+            # round (the per-round re-rank was the 500+-image scaling
+            # wall); strict mode re-ranks after every registration like
+            # the reference
+            for image_id in nxt[:per_round]:
                 if not self.register_next_image(image_id):
                     continue
                 self.triangulate_image(image_id)

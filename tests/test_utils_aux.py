@@ -120,3 +120,31 @@ class TestCheckpointResume:
         loaded = ctrl2.load_partitions(path)
         assert len(loaded) == 1
         assert loaded[0].num_points3D() == recs[0].num_points3D()
+
+
+def test_image_graph_svg(tmp_path):
+    """Adjacency-matrix SVG output (ref ImageGraph::OutputSVG,
+    image_graph.cpp:70-118)."""
+    from dagsfm_tpu.graph.svg import write_adjacency_svg
+
+    edges = {(1, 2): 100.0, (2, 3): 50.0, (1, 3): 10.0}
+    path = str(tmp_path / "graph.svg")
+    write_adjacency_svg([1, 2, 3], edges, path)
+    svg = open(path).read()
+    assert svg.startswith("<svg")
+    assert svg.count("<rect") >= 2 * len(edges) + 3  # cells + legend
+    assert "</svg>" in svg
+
+
+def test_view_graph_svg(tmp_path):
+    import numpy as np
+    from dagsfm_tpu.graph.svg import write_view_graph_svg
+    from dagsfm_tpu.graph.view_graph import TwoViewEdge, ViewGraph
+
+    vg = ViewGraph()
+    R = np.eye(3)
+    vg.add_edge(TwoViewEdge(1, 2, R, np.zeros(3), 80, 1.0))
+    vg.add_edge(TwoViewEdge(2, 3, R, np.zeros(3), 40, 1.0))
+    path = str(tmp_path / "vg.svg")
+    write_view_graph_svg(vg, path)
+    assert "<svg" in open(path).read()
