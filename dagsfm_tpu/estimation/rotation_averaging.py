@@ -219,3 +219,143 @@ def filter_pairs_from_orientation(edges: np.ndarray, rel_rot: np.ndarray,
     R_est = Rj @ jnp.swapaxes(Ri, -1, -2)
     ang = rops.rotation_angle_deg(jnp.asarray(rel_rot), R_est)
     return np.asarray(ang) < max_angle_deg
+
+
+def _solve_ra_sharded(mesh, opts: RAOptions, num_images: int):
+    """Build the edge-sharded L1->IRLS solver for a mesh (cached by the
+    caller). Edges (the big axis: E ~ O(I * neighbors)) are sharded over
+    the mesh; global rotations stay replicated; each CG matvec and each
+    weighted-residual reduction does its segment sums locally and
+    combines with ONE psum over the 'd' axis — the same
+    collective-shape as the sharded BA (scaling-book recipe).
+    """
+    import functools as _ft
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    I = num_images
+
+    @jax.jit
+    def run(q0, edges_sh, qrel_sh, emask_sh):
+        @_ft.partial(shard_map, mesh=mesh,
+                     in_specs=(P(), P("d"), P("d"), P("d")),
+                     out_specs=P(), check_vma=False)
+        def solve(q0, edges, qrel, emask):
+            src = edges[0][:, 0]
+            dst = edges[0][:, 1]
+            qr = qrel[0]
+            em = emask[0].astype(q0.dtype)
+            dtype = q0.dtype
+
+            def residuals(q):
+                qi = q[src]
+                qj = q[dst]
+                q_err = rops.quat_multiply(
+                    rops.quat_conjugate(qj), rops.quat_multiply(qr, qi))
+                return rops.quat_to_angleaxis(q_err)
+
+            def psum_seg(vals, idx):
+                return jax.lax.psum(
+                    jax.ops.segment_sum(vals, idx, I), "d")
+
+            def cg_solve(w, b):
+                deg = psum_seg(w, src) + psum_seg(w, dst)
+                deg = deg.at[0].add(1e8)
+
+                def matvec(x):
+                    diff = x[src] - x[dst]
+                    out = psum_seg(w[:, None] * diff, src) - \
+                        psum_seg(w[:, None] * diff, dst)
+                    return out.at[0].add(1e8 * x[0])
+
+                Minv = 1.0 / jnp.maximum(deg, 1e-12)
+
+                def body(carry, _):
+                    x, r, z, p, rz = carry
+                    Ap = matvec(p)
+                    alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-18)
+                    x = x + alpha * p
+                    r = r - alpha * Ap
+                    z = r * Minv[:, None]
+                    rz_new = jnp.sum(r * z)
+                    beta = rz_new / jnp.maximum(rz, 1e-18)
+                    return (x, r, z, z + beta * p, rz_new), None
+
+                x0 = jnp.zeros((I, 3), dtype)
+                z0 = b * Minv[:, None]
+                (x, *_), _ = jax.lax.scan(
+                    body, (x0, b, z0, z0, jnp.sum(b * z0)), None,
+                    length=opts.cg_iterations)
+                return x
+
+            def step(q, w):
+                e = residuals(q)
+                b = -(psum_seg(w[:, None] * e, src)
+                      - psum_seg(w[:, None] * e, dst))
+                dw = cg_solve(w, b)
+                dq = rops.angleaxis_to_quat(dw)
+                return rops.quat_normalize(rops.quat_multiply(q, dq))
+
+            sigma = jnp.asarray(np.radians(opts.sigma_deg), dtype)
+
+            def l1_body(q, _):
+                e = residuals(q)
+                nrm = jnp.linalg.norm(e, axis=-1)
+                w = em / jnp.maximum(nrm, 1e-5)
+                return step(q, w), None
+
+            q, _ = jax.lax.scan(l1_body, q0, None,
+                                length=opts.l1_iterations)
+
+            def irls_body(q, _):
+                e = residuals(q)
+                nrm2 = jnp.sum(e * e, axis=-1)
+                w = em * (sigma ** 2 / (nrm2 + sigma ** 2)) ** 2
+                return step(q, w), None
+
+            q, _ = jax.lax.scan(irls_body, q, None,
+                                length=opts.irls_iterations)
+            return rops.quat_to_rotmat(q)
+
+        return solve(q0, edges_sh, qrel_sh, emask_sh)
+
+    return run
+
+
+def estimate_rotations_sharded(num_images: int, edges: np.ndarray,
+                               rel_rot: np.ndarray, mesh,
+                               opts: RAOptions = RAOptions()) -> np.ndarray:
+    """Edge-sharded rotation averaging over a device mesh.
+
+    Same algorithm as estimate_rotations (spanning-tree init + L1->IRLS
+    over Laplacian CG); the edge axis is sharded over mesh axis 'd' and
+    reductions ride one psum each. Deterministic and numerically
+    identical to the single-device path (all devices hold the same
+    replicated state).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    D = mesh.devices.size
+    E = len(edges)
+    pad = (-E) % D
+    edges_p = np.concatenate(
+        [edges, np.zeros((pad, 2), edges.dtype)]) if pad else edges
+    rel_p = np.concatenate(
+        [rel_rot, np.tile(np.eye(3), (pad, 1, 1))]) if pad else rel_rot
+    emask = np.concatenate([np.ones(E, bool), np.zeros(pad, bool)])
+    Ed = (E + pad) // D
+
+    R0 = spanning_tree_init(num_images, edges, rel_rot)
+    q0 = jnp.asarray(np.asarray(rops.rotmat_to_quat(jnp.asarray(R0))))
+
+    sh = NamedSharding(mesh, P("d"))
+    edges_sh = jax.device_put(
+        jnp.asarray(edges_p.reshape(D, Ed, 2), jnp.int32), sh)
+    qrel = np.asarray(rops.rotmat_to_quat(jnp.asarray(rel_p)))
+    qrel_sh = jax.device_put(jnp.asarray(qrel.reshape(D, Ed, 4)), sh)
+    emask_sh = jax.device_put(jnp.asarray(emask.reshape(D, Ed)), sh)
+
+    run = _solve_ra_sharded(mesh, opts, num_images)
+    R = np.asarray(run(q0, edges_sh, qrel_sh, emask_sh))
+    return np.einsum("nij,kj->nik", R, R[0])

@@ -269,3 +269,164 @@ def run_worker(cameras: dict, images: dict, graph, clusters: list,
             # deterministic failure (round-2 livelock fix)
             runner.record_failure(k)
     return done
+
+
+# ---------------------------------------------------------------------------
+# Distributed feature extraction + matching over the lease runtime
+# (parity with the reference's matching jobs:
+# distributed_mapper_controller.cpp:388-475 DistributedFeatureExtraction-
+# AndMatching, worker RunMatching binding exe/colmap.cc:961-983, and the
+# DatabaseInfo Merge/UpdateImageIndex reduce payload database_info.h:74,265.
+# The RPC payloads become shared-storage artifacts: job specs in
+# matching_jobs.json, per-job results as COLMAP-schema SQLite databases,
+# and the reduce step is a name-keyed database merge.)
+# ---------------------------------------------------------------------------
+
+
+class MatchingJobRunner(ClusterJobRunner):
+    """Lease-coordinated matching jobs: output = matches<k>.db."""
+
+    def _lease_path(self, k: int) -> str:
+        return os.path.join(self.work_dir, "leases", f"match{k}.lease")
+
+    def _fail_path(self, k: int) -> str:
+        return os.path.join(self.work_dir, "leases", f"match{k}.fail")
+
+    def _out_path(self, k: int) -> str:
+        return os.path.join(self.work_dir, f"matches{k}.db")
+
+    def is_done(self, k: int) -> bool:
+        return os.path.exists(self._out_path(k))
+
+    def complete_db(self, k: int) -> None:
+        try:
+            os.remove(self._lease_path(k))
+        except FileNotFoundError:
+            pass
+
+
+def make_matching_jobs(candidate_pairs: list, num_jobs: int) -> list:
+    """Cut the candidate-pair graph into matching job specs.
+
+    Mirrors the reference's Cut + ExpandAllEdges on the similarity graph
+    (:403-407): every candidate pair lands in EXACTLY one job (the
+    expansion adds the missing endpoint image to one incident cluster),
+    so the union of job results covers all pairs with no duplicates.
+
+    candidate_pairs: [(i, j[, score])...]. Returns
+    [{"job_id", "image_ids", "pairs"}], pairs as [i, j] lists
+    (json-ready).
+    """
+    from dagsfm_tpu.clustering.image_clustering import (ClusteringOptions,
+                                                        ImageClustering)
+
+    edges = {}
+    for p in candidate_pairs:
+        i, j = int(p[0]), int(p[1])
+        score = float(p[2]) if len(p) > 2 and p[2] else 1.0
+        key = (i, j) if i < j else (j, i)
+        edges[key] = max(edges.get(key, 0.0), score)
+    ids = sorted({i for k in edges for i in k})
+    if num_jobs <= 1 or len(ids) <= 2:
+        return [{"job_id": 0, "image_ids": ids,
+                 "pairs": [[i, j] for (i, j) in sorted(edges)]}]
+    ub = max(2, -(-len(ids) // num_jobs))
+    ic = ImageClustering(ids, edges,
+                         ClusteringOptions(num_images_ub=ub))
+    ic.cut()
+    clusters = ic.expand_all_edges()
+    jobs = []
+    for k, c in enumerate(clusters):
+        if not c.edges:
+            continue
+        jobs.append({"job_id": k, "image_ids": sorted(c.image_ids),
+                     "pairs": [[i, j] for (i, j) in sorted(c.edges)]})
+    return jobs
+
+
+def run_matching_worker(images: dict, cameras: dict, jobs: list,
+                        work_dir: str, host_id: int = 0,
+                        pipeline_options=None,
+                        lease_timeout_s: float = 3600.0) -> list:
+    """Worker loop for matching jobs: claim by lease, extract + match +
+    verify the job's pair list, write a per-job COLMAP SQLite database.
+
+    Counterpart of the reference worker's RunMatching binding
+    (exe/colmap.cc:961-983 -> ExtractFeatureAndMatch,
+    incremental_mapper_controller.cc:410-422): extraction happens ON the
+    worker, results land in a worker-local database.
+
+    images: image_id -> (H, W) float array (each worker loads only its
+    jobs' images in practice; passing the full dict is fine).
+    Returns completed job ids.
+    """
+    from dagsfm_tpu.pipeline.feature_pipeline import (FeaturePipeline,
+                                                      FeaturePipelineOptions)
+
+    runner = MatchingJobRunner(work_dir, host_id,
+                               lease_timeout_s=lease_timeout_s)
+    order = sorted(range(len(jobs)),
+                   key=lambda k: -len(jobs[k]["pairs"]))
+    done = []
+    for k in order:
+        jid = jobs[k]["job_id"]
+        if not runner.claim(jid):
+            continue
+        spec = jobs[k]
+        sub_images = {i: images[i] for i in spec["image_ids"]}
+        sub_cams = {i: cameras[i] for i in spec["image_ids"]}
+        fp = FeaturePipeline(sub_images, sub_cams,
+                             pipeline_options or FeaturePipelineOptions(),
+                             database_path=runner._out_path(jid))
+        try:
+            fp.extract_features()
+            fp.match_and_verify(
+                pairs=[tuple(p) for p in spec["pairs"]])
+            fp.write_database()
+        except Exception:
+            runner.record_failure(jid)
+            raise
+        runner.complete_db(jid)
+        done.append(jid)
+    return done
+
+
+def merge_matching_databases(work_dir: str, job_ids: list,
+                             out_path: str) -> int:
+    """Master-side reduce: fold every matches<k>.db into one database.
+
+    The name-keyed image-id renumbering inside ColmapDatabase.merge is
+    the counterpart of DatabaseInfo::UpdateImageIndex + Merge
+    (database_info.h:74,265 -> ExportToDatabase at
+    distributed_mapper_controller.cpp:473-475): an image appearing in
+    several job databases (expansion overlap) keeps ONE id in the merged
+    database. Returns the number of two-view geometries merged.
+    """
+    from dagsfm_tpu.scene.io import ColmapDatabase
+
+    paths = [os.path.join(work_dir, f"matches{k}.db") for k in job_ids]
+    paths = [p for p in paths if os.path.exists(p)]
+    if not paths:
+        return 0
+    if os.path.exists(out_path):
+        os.remove(out_path)
+    if len(paths) == 1:
+        import shutil
+        shutil.copy(paths[0], out_path)
+        with ColmapDatabase(out_path) as db:
+            return db.num_two_view_geometries()
+    acc = paths[0]
+    tmp_prev = None
+    for step, nxt in enumerate(paths[1:]):
+        tmp = out_path + f".step{step}"
+        db1 = ColmapDatabase(acc)
+        db2 = ColmapDatabase(nxt)
+        out = ColmapDatabase(tmp)
+        ColmapDatabase.merge(db1, db2, out)
+        db1.close(); db2.close(); out.close()
+        if tmp_prev is not None:
+            os.remove(tmp_prev)
+        acc, tmp_prev = tmp, tmp
+    os.replace(acc, out_path)
+    with ColmapDatabase(out_path) as db:
+        return db.num_two_view_geometries()

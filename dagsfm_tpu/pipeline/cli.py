@@ -252,6 +252,45 @@ def cmd_local_sfm_worker(args):
     print(f"worker {args.host_id}: completed clusters {done}")
 
 
+def cmd_local_matching_worker(args):
+    """Worker process: claim MATCHING jobs from a shared work_dir,
+    extract+match+verify each job's pair list into a per-job database
+    (ref worker RunMatching binding, exe/colmap.cc:961-983 ->
+    ExtractFeatureAndMatch; RPC replaced by shared-storage leases).
+
+    Images are .npy grayscale files `image<id>.npy` under --image_path;
+    jobs come from matching_jobs.json in the work_dir (written by
+    parallel.distributed.make_matching_jobs).
+    """
+    from dagsfm_tpu.parallel.distributed import run_matching_worker
+    from dagsfm_tpu.pipeline.feature_pipeline import FeaturePipelineOptions
+    from dagsfm_tpu.scene import cameras as cm
+
+    with open(os.path.join(args.work_dir, "matching_jobs.json")) as f:
+        jobs = json.load(f)
+    need = sorted({i for j in jobs for i in j["image_ids"]})
+    images, cams = {}, {}
+    for i in need:
+        img = np.load(os.path.join(args.image_path, f"image{i}.npy"))
+        images[i] = img
+        cams[i] = cm.make_simple_camera(
+            i, img.shape[1], img.shape[0],
+            focal=args.focal if args.focal > 0 else None)
+    opts = FeaturePipelineOptions(batch_size=args.batch_size,
+                                  guided_matching=args.guided_matching)
+    if args.max_num_features > 0:
+        from dagsfm_tpu.features import sift
+        opts.sift = sift.SiftOptions(
+            max_num_features=args.max_num_features,
+            candidates_per_octave=min(512, args.max_num_features),
+            num_octaves=3)
+    done = run_matching_worker(images, cams, jobs, args.work_dir,
+                               host_id=args.host_id,
+                               pipeline_options=opts,
+                               lease_timeout_s=args.lease_timeout)
+    print(f"matching worker {args.host_id}: completed jobs {done}")
+
+
 def cmd_database_creator(args):
     """Create an empty COLMAP-schema database (ref database_creator)."""
     from dagsfm_tpu.scene.io import ColmapDatabase
@@ -894,6 +933,16 @@ def build_parser() -> argparse.ArgumentParser:
         ("--database_path", dict(required=True)),
         ("--work_dir", dict(required=True)),
         ("--host_id", dict(type=int, default=0)),
+        ("--lease_timeout", dict(type=float, default=3600.0)),
+    ])
+    add("local_matching_worker", cmd_local_matching_worker, [
+        ("--image_path", dict(required=True)),
+        ("--work_dir", dict(required=True)),
+        ("--host_id", dict(type=int, default=0)),
+        ("--focal", dict(type=float, default=-1.0)),
+        ("--batch_size", dict(type=int, default=4)),
+        ("--max_num_features", dict(type=int, default=1024)),
+        ("--guided_matching", dict(action="store_true")),
         ("--lease_timeout", dict(type=float, default=3600.0)),
     ])
     add("database_creator", cmd_database_creator, [

@@ -496,11 +496,19 @@ class ColmapDatabase:
             cam_map2[cid] = next_cam
             out.add_camera(cam._replace(camera_id=next_cam))
             next_cam += 1
+        used_ids = set(name_to_out.values())
         for iid, (name, cid) in db2.read_images().items():
             if name in name_to_out:
                 img_map2[iid] = name_to_out[name]
                 continue
-            new_id = out.add_image(name, cam_map2[cid])
+            # preserve db2's id when free: worker databases produced by
+            # the distributed-matching runtime all number images by the
+            # MASTER's global ids, so the merge must keep them stable
+            # (DatabaseInfo::UpdateImageIndex semantics — renumber only
+            # on actual conflict)
+            keep = iid if iid not in used_ids else None
+            new_id = out.add_image(name, cam_map2[cid], image_id=keep)
+            used_ids.add(new_id)
             img_map2[iid] = new_id
             kp = db2.read_keypoints(iid)
             if len(kp):

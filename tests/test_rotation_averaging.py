@@ -125,3 +125,43 @@ class TestViewGraph:
         assert bad_key not in g.edges
         # most good edges survive
         assert g.num_edges() >= len(edges) - removed
+
+
+def _rand_quat(rng):
+    q = rng.normal(size=4)
+    return q / np.linalg.norm(q)
+
+
+def test_sharded_matches_single_device():
+    """Edge-sharded RA over the 8-device mesh matches the single-device
+    solver (replicated state, psum'd reductions)."""
+    import jax.numpy as jnp
+
+    from dagsfm_tpu.ops import rotations as rops
+    from dagsfm_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(3)
+    n = 20
+    Rg = np.stack([np.asarray(rops.quat_to_rotmat_np(
+        _rand_quat(rng))) for _ in range(n)])
+    edges, rels = [], []
+    for i in range(n):
+        for j in range(i + 1, min(i + 4, n)):
+            edges.append((i, j))
+            aa = rng.normal(0, 0.01, 3)
+            Rn = np.asarray(rops.quat_to_rotmat_np(np.asarray(
+                rops.angleaxis_to_quat(jnp.asarray(aa)))))
+            rels.append(Rn @ Rg[j] @ Rg[i].T)
+    edges = np.array(edges, np.int32)
+    rels = np.stack(rels)
+
+    opts = ra.RAOptions(l1_iterations=5, irls_iterations=20,
+                        cg_iterations=30)
+    R1 = ra.estimate_rotations(n, edges, rels, opts)
+    mesh = make_mesh(8)
+    R2 = ra.estimate_rotations_sharded(n, edges, rels, mesh, opts)
+    for k in range(n):
+        dR = R1[k] @ R2[k].T
+        ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2,
+                                           -1, 1)))
+        assert ang < 0.05, (k, ang)
