@@ -52,6 +52,11 @@ class TwoViewOptions:
     detect_watermark: bool = True
     num_hypotheses: int = 256
     compute_relative_pose: bool = True
+    # speed knob: calibrated pairs run ONLY the essential-matrix RANSAC
+    # (skips F and H -> ~3x cheaper verification; loses PLANAR/
+    # PANORAMIC/WATERMARK classification for those pairs). The reference
+    # always estimates all three (two_view_geometry.cc:113); default off.
+    essential_only: bool = False
 
 
 class TwoViewResult(NamedTuple):
@@ -120,6 +125,22 @@ def _efh_batched(keys, x1, x2, p1, p2, mask, thr_n, thr_p, num_hyps):
     return jax.vmap(one)(keys, x1, x2, p1, p2, mask, thr_n, thr_p)
 
 
+@functools.partial(jax.jit, static_argnames=("num_hyps",))
+def _e_batched(keys, x1, x2, mask, thr_n, num_hyps):
+    """Essential-only RANSAC batch (the essential_only fast path)."""
+
+    def one(key, a, b, m, tn):
+        resE = rnsc.ransac(
+            key, solver=epi.essential_5pt, residual_fn=epi.sampson_error,
+            data=(a, b), mask=m, sample_size=5, threshold=tn,
+            num_hypotheses=num_hyps,
+            refit=lambda u, v, inl: epi.essential_8pt(u, v, mask=inl)[0][0])
+        R, t, nf = epi.pose_from_essential(resE.model, a, b, resE.inliers)
+        return (resE.model, resE.num_inliers, resE.inliers, R, t, nf)
+
+    return jax.vmap(one)(keys, x1, x2, mask, thr_n)
+
+
 @jax.jit
 def _pose_from_e(E, x1, x2, inl):
     return epi.pose_from_essential(E, x1, x2, inl)
@@ -173,48 +194,79 @@ def classify_pairs(pair_data: list,
 
     keys_all = jax.random.split(key0, max(1, len(pair_data)))
     key_idx = 0
-    for N, rows in sorted(by_bucket.items()):
-        for s in range(0, len(rows), batch_size):
-            chunk = rows[s: s + batch_size]
-            B = len(chunk)
-            x1b = np.zeros((B, N, 2))
-            x2b = np.zeros((B, N, 2))
-            p1b = np.zeros((B, N, 2))
-            p2b = np.zeros((B, N, 2))
-            mb = np.zeros((B, N), bool)
-            tnb = np.zeros(B)
-            tpb = np.zeros(B)
-            for k, (pk, p) in enumerate(chunk):
-                (pix1, pix2, x1, x2, thr_n, thr_p, *_rest) = p
-                n = len(pix1)
-                x1b[k, :n] = x1
-                x2b[k, :n] = x2
-                p1b[k, :n] = pix1
-                p2b[k, :n] = pix2
-                mb[k, :n] = True
-                tnb[k] = thr_n
-                tpb[k] = thr_p
-            keys = keys_all[key_idx: key_idx + B]
-            key_idx += B
-            res = _efh_batched(
-                keys, jnp.asarray(x1b), jnp.asarray(x2b),
-                jnp.asarray(p1b), jnp.asarray(p2b), jnp.asarray(mb),
-                jnp.asarray(tnb), jnp.asarray(tpb),
-                options.num_hypotheses)
-            res = [np.asarray(r) for r in res]
-            for k, (pk, p) in enumerate(chunk):
-                (pix1, pix2, x1, x2, thr_n, thr_p, K1, K2, sz1, sz2,
-                 calibrated, _N) = p
-                out[pk] = _select_model(
-                    pix1, pix2, x1, x2, K1, K2, sz1, sz2, calibrated,
-                    options,
-                    E=res[0][k], nE=int(res[1][k]),
-                    inlE=res[2][k][: len(pix1)],
-                    R_E=res[3][k], t_E=res[4][k], nf=int(res[5][k]),
-                    F=res[6][k], nF=int(res[7][k]),
-                    inlF=res[8][k][: len(pix1)],
-                    H=res[9][k], nH=int(res[10][k]),
-                    inlH=res[11][k][: len(pix1)])
+    for N, all_rows in sorted(by_bucket.items()):
+        if options.essential_only:
+            groups = [
+                ("e", [r for r in all_rows if r[1][10]]),      # calibrated
+                ("efh", [r for r in all_rows if not r[1][10]]),
+            ]
+        else:
+            groups = [("efh", all_rows)]
+        for kind, rows in groups:
+            for s in range(0, len(rows), batch_size):
+                chunk = rows[s: s + batch_size]
+                B = len(chunk)
+                if B == 0:
+                    continue
+                x1b = np.zeros((B, N, 2))
+                x2b = np.zeros((B, N, 2))
+                p1b = np.zeros((B, N, 2))
+                p2b = np.zeros((B, N, 2))
+                mb = np.zeros((B, N), bool)
+                tnb = np.zeros(B)
+                tpb = np.zeros(B)
+                for k, (pk, p) in enumerate(chunk):
+                    (pix1, pix2, x1, x2, thr_n, thr_p, *_rest) = p
+                    n = len(pix1)
+                    x1b[k, :n] = x1
+                    x2b[k, :n] = x2
+                    p1b[k, :n] = pix1
+                    p2b[k, :n] = pix2
+                    mb[k, :n] = True
+                    tnb[k] = thr_n
+                    tpb[k] = thr_p
+                keys = keys_all[key_idx: key_idx + B]
+                key_idx += B
+                if kind == "e":
+                    resE = _e_batched(
+                        keys, jnp.asarray(x1b), jnp.asarray(x2b),
+                        jnp.asarray(mb), jnp.asarray(tnb),
+                        options.num_hypotheses)
+                    resE = [np.asarray(r) for r in resE]
+                    zero3 = np.zeros((3, 3))
+                    for k, (pk, p) in enumerate(chunk):
+                        (pix1, pix2, x1, x2, thr_n, thr_p, K1, K2, sz1,
+                         sz2, calibrated, _N) = p
+                        nwin = len(pix1)
+                        out[pk] = _select_model(
+                            pix1, pix2, x1, x2, K1, K2, sz1, sz2,
+                            calibrated, options,
+                            E=resE[0][k], nE=int(resE[1][k]),
+                            inlE=resE[2][k][:nwin],
+                            R_E=resE[3][k], t_E=resE[4][k],
+                            nf=int(resE[5][k]),
+                            F=zero3, nF=0, inlF=np.zeros(nwin, bool),
+                            H=zero3, nH=0, inlH=np.zeros(nwin, bool))
+                    continue
+                res = _efh_batched(
+                    keys, jnp.asarray(x1b), jnp.asarray(x2b),
+                    jnp.asarray(p1b), jnp.asarray(p2b), jnp.asarray(mb),
+                    jnp.asarray(tnb), jnp.asarray(tpb),
+                    options.num_hypotheses)
+                res = [np.asarray(r) for r in res]
+                for k, (pk, p) in enumerate(chunk):
+                    (pix1, pix2, x1, x2, thr_n, thr_p, K1, K2, sz1, sz2,
+                     calibrated, _N) = p
+                    out[pk] = _select_model(
+                        pix1, pix2, x1, x2, K1, K2, sz1, sz2, calibrated,
+                        options,
+                        E=res[0][k], nE=int(res[1][k]),
+                        inlE=res[2][k][: len(pix1)],
+                        R_E=res[3][k], t_E=res[4][k], nf=int(res[5][k]),
+                        F=res[6][k], nF=int(res[7][k]),
+                        inlF=res[8][k][: len(pix1)],
+                        H=res[9][k], nH=int(res[10][k]),
+                        inlH=res[11][k][: len(pix1)])
     return out
 
 

@@ -71,6 +71,10 @@ class FeaturePipelineOptions:
     min_num_inliers: int = 15       # ref sift.h min_num_inliers
     max_error_px: float = 4.0       # ref sift.h max_error
     num_ransac_hypotheses: int = 256
+    # calibrated pairs verify with the essential matrix only (~3x faster
+    # verification; loses planar/watermark classification — see
+    # TwoViewOptions.essential_only)
+    two_view_essential_only: bool = False
     seed: int = 0
     # ref sift.h:116-166 guided_matching: re-match each verified pair
     # under its winning epipolar/homography constraint, recovering
@@ -232,7 +236,8 @@ class FeaturePipeline:
         tv_opts = tvc.TwoViewOptions(
             min_num_inliers=self.opts.min_num_inliers,
             max_error_px=self.opts.max_error_px,
-            num_hypotheses=self.opts.num_ransac_hypotheses)
+            num_hypotheses=self.opts.num_ransac_hypotheses,
+            essential_only=self.opts.two_view_essential_only)
         results = tvc.classify_pairs(pair_data, tv_opts,
                                      seed=self.opts.seed)
         for (i, j), res in results.items():

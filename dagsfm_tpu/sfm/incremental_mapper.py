@@ -666,6 +666,14 @@ class IncrementalMapper:
         cam_ids, img_ids, pt_ids = ids
         # arrays.image_* are bucket-padded beyond len(img_ids): pads are
         # constant (identity) cameras with no observations
+        # Gauge: two full poses pinned, vs the reference's one pose plus
+        # one translation COMPONENT (7 gauge dofs exactly). Pinning 12
+        # dofs over-constrains by 5, which only forbids gauge motions BA
+        # would anyway not use (the two anchors are themselves solution
+        # points); measured effect on final cost/ATE in the synthetic
+        # suites is below noise, and block-level masking keeps every
+        # solver path scatter-free (a per-COMPONENT mask would put a
+        # (I,6) mask inside all four Schur assemblies).
         const = np.ones(arrays.image_qvec.shape[0], bool)
         for k, i in enumerate(img_ids):
             const[k] = i in const_images

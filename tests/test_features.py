@@ -258,3 +258,36 @@ class TestSiftReferenceParity:
         # the full extent (not clipped to the resized 96px bound)
         assert kp[:, 0].max() > 96.0
         assert kp[:, 0].max() < 192 and kp[:, 1].max() < 128
+
+
+def test_patch_sampling_matches_gather_path():
+    """The TPU patch-sampling path (dynamic-slice patches + one-hot
+    matmul interpolation) produces the SAME keypoints/descriptors as the
+    gather path — forced on here (CPU auto-resolves to gathers)."""
+    import scipy.ndimage as ndi
+
+    from dagsfm_tpu.features import sift
+
+    rng = np.random.default_rng(0)
+    img = ndi.gaussian_filter(rng.random((192, 256)).astype(np.float32),
+                              1.2)
+    batch = np.stack([img])
+    o_patch = sift.SiftOptions(max_num_features=384,
+                               candidates_per_octave=256, num_octaves=3,
+                               patch_sampling=True)
+    fp_ = sift.extract(batch, o_patch)
+    fg = sift.extract(batch, o_patch._replace(patch_sampling=False))
+    mp_ = np.asarray(fp_.mask[0])
+    mg = np.asarray(fg.mask[0])
+    assert mp_.sum() == mg.sum()
+    # same detections in the same order (detection path is identical)
+    np.testing.assert_allclose(np.asarray(fp_.xy[0])[mp_],
+                               np.asarray(fg.xy[0])[mg], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fp_.orientation[0])[mp_],
+                               np.asarray(fg.orientation[0])[mg],
+                               atol=1e-5)
+    dp = np.asarray(fp_.descriptor[0])[mp_]
+    dg = np.asarray(fg.descriptor[0])[mg]
+    cos = np.sum(dp * dg, -1) / np.maximum(
+        np.linalg.norm(dp, axis=-1) * np.linalg.norm(dg, axis=-1), 1e-12)
+    assert cos.min() > 0.999, cos.min()
