@@ -13,6 +13,7 @@ selection itself is scalar host logic.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -193,7 +194,11 @@ def classify_pairs(pair_data: list,
             by_bucket.setdefault(p[-1], []).append((pk, p))
 
     keys_all = jax.random.split(key0, max(1, len(pair_data)))
+    # build the chunk work list first, then execute — on CPU the chunks
+    # run on a small thread pool (XLA releases the GIL during execution;
+    # the reference's verifier-thread parallelism, matching.cc:550-608)
     key_idx = 0
+    work = []
     for N, all_rows in sorted(by_bucket.items()):
         if options.essential_only:
             groups = [
@@ -205,68 +210,101 @@ def classify_pairs(pair_data: list,
         for kind, rows in groups:
             for s in range(0, len(rows), batch_size):
                 chunk = rows[s: s + batch_size]
-                B = len(chunk)
-                if B == 0:
-                    continue
-                x1b = np.zeros((B, N, 2))
-                x2b = np.zeros((B, N, 2))
-                p1b = np.zeros((B, N, 2))
-                p2b = np.zeros((B, N, 2))
-                mb = np.zeros((B, N), bool)
-                tnb = np.zeros(B)
-                tpb = np.zeros(B)
-                for k, (pk, p) in enumerate(chunk):
-                    (pix1, pix2, x1, x2, thr_n, thr_p, *_rest) = p
-                    n = len(pix1)
-                    x1b[k, :n] = x1
-                    x2b[k, :n] = x2
-                    p1b[k, :n] = pix1
-                    p2b[k, :n] = pix2
-                    mb[k, :n] = True
-                    tnb[k] = thr_n
-                    tpb[k] = thr_p
-                keys = keys_all[key_idx: key_idx + B]
-                key_idx += B
-                if kind == "e":
-                    resE = _e_batched(
-                        keys, jnp.asarray(x1b), jnp.asarray(x2b),
-                        jnp.asarray(mb), jnp.asarray(tnb),
-                        options.num_hypotheses)
-                    resE = [np.asarray(r) for r in resE]
-                    zero3 = np.zeros((3, 3))
-                    for k, (pk, p) in enumerate(chunk):
-                        (pix1, pix2, x1, x2, thr_n, thr_p, K1, K2, sz1,
-                         sz2, calibrated, _N) = p
-                        nwin = len(pix1)
-                        out[pk] = _select_model(
-                            pix1, pix2, x1, x2, K1, K2, sz1, sz2,
-                            calibrated, options,
-                            E=resE[0][k], nE=int(resE[1][k]),
-                            inlE=resE[2][k][:nwin],
-                            R_E=resE[3][k], t_E=resE[4][k],
-                            nf=int(resE[5][k]),
-                            F=zero3, nF=0, inlF=np.zeros(nwin, bool),
-                            H=zero3, nH=0, inlH=np.zeros(nwin, bool))
-                    continue
-                res = _efh_batched(
-                    keys, jnp.asarray(x1b), jnp.asarray(x2b),
-                    jnp.asarray(p1b), jnp.asarray(p2b), jnp.asarray(mb),
-                    jnp.asarray(tnb), jnp.asarray(tpb),
-                    options.num_hypotheses)
-                res = [np.asarray(r) for r in res]
-                for k, (pk, p) in enumerate(chunk):
-                    (pix1, pix2, x1, x2, thr_n, thr_p, K1, K2, sz1, sz2,
-                     calibrated, _N) = p
-                    out[pk] = _select_model(
-                        pix1, pix2, x1, x2, K1, K2, sz1, sz2, calibrated,
-                        options,
-                        E=res[0][k], nE=int(res[1][k]),
-                        inlE=res[2][k][: len(pix1)],
-                        R_E=res[3][k], t_E=res[4][k], nf=int(res[5][k]),
-                        F=res[6][k], nF=int(res[7][k]),
-                        inlF=res[8][k][: len(pix1)],
-                        H=res[9][k], nH=int(res[10][k]),
-                        inlH=res[11][k][: len(pix1)])
+                if chunk:
+                    work.append((kind, N, chunk, key_idx))
+                    key_idx += len(chunk)
+
+    def _run_chunk(item):
+        kind, N, chunk, kidx = item
+        B = len(chunk)
+        x1b = np.zeros((B, N, 2))
+        x2b = np.zeros((B, N, 2))
+        p1b = np.zeros((B, N, 2))
+        p2b = np.zeros((B, N, 2))
+        mb = np.zeros((B, N), bool)
+        tnb = np.zeros(B)
+        tpb = np.zeros(B)
+        for k, (pk, p) in enumerate(chunk):
+            (pix1, pix2, x1, x2, thr_n, thr_p, *_rest) = p
+            n = len(pix1)
+            x1b[k, :n] = x1
+            x2b[k, :n] = x2
+            p1b[k, :n] = pix1
+            p2b[k, :n] = pix2
+            mb[k, :n] = True
+            tnb[k] = thr_n
+            tpb[k] = thr_p
+        keys = keys_all[kidx: kidx + B]
+        results = []
+        if kind == "e":
+            resE = _e_batched(
+                keys, jnp.asarray(x1b), jnp.asarray(x2b),
+                jnp.asarray(mb), jnp.asarray(tnb),
+                options.num_hypotheses)
+            resE = [np.asarray(r) for r in resE]
+            zero3 = np.zeros((3, 3))
+            for k, (pk, p) in enumerate(chunk):
+                (pix1, pix2, x1, x2, thr_n, thr_p, K1, K2, sz1,
+                 sz2, calibrated, _N) = p
+                nwin = len(pix1)
+                results.append((pk, _select_model(
+                    pix1, pix2, x1, x2, K1, K2, sz1, sz2,
+                    calibrated, options,
+                    E=resE[0][k], nE=int(resE[1][k]),
+                    inlE=resE[2][k][:nwin],
+                    R_E=resE[3][k], t_E=resE[4][k],
+                    nf=int(resE[5][k]),
+                    F=zero3, nF=0, inlF=np.zeros(nwin, bool),
+                    H=zero3, nH=0, inlH=np.zeros(nwin, bool))))
+            return results
+        res = _efh_batched(
+            keys, jnp.asarray(x1b), jnp.asarray(x2b),
+            jnp.asarray(p1b), jnp.asarray(p2b), jnp.asarray(mb),
+            jnp.asarray(tnb), jnp.asarray(tpb),
+            options.num_hypotheses)
+        res = [np.asarray(r) for r in res]
+        for k, (pk, p) in enumerate(chunk):
+            (pix1, pix2, x1, x2, thr_n, thr_p, K1, K2, sz1, sz2,
+             calibrated, _N) = p
+            results.append((pk, _select_model(
+                pix1, pix2, x1, x2, K1, K2, sz1, sz2, calibrated,
+                options,
+                E=res[0][k], nE=int(res[1][k]),
+                inlE=res[2][k][: len(pix1)],
+                R_E=res[3][k], t_E=res[4][k], nf=int(res[5][k]),
+                F=res[6][k], nF=int(res[7][k]),
+                inlF=res[8][k][: len(pix1)],
+                H=res[9][k], nH=int(res[10][k]),
+                inlH=res[11][k][: len(pix1)])))
+        return results
+
+    n_threads = 1
+    if jax.default_backend() == "cpu" and len(work) > 1:
+        n_threads = min(os.cpu_count() or 1, 8)
+    if n_threads > 1:
+        # warm the compile caches sequentially (one item per distinct
+        # (kind, N) shape) so threads don't race the same compilation
+        seen_shapes = set()
+        warm, rest = [], []
+        for item in work:
+            sig = (item[0], item[1], len(item[2]))
+            if sig in seen_shapes:
+                rest.append(item)
+            else:
+                seen_shapes.add(sig)
+                warm.append(item)
+        for item in warm:
+            for pk, r in _run_chunk(item):
+                out[pk] = r
+        import concurrent.futures as cf
+        with cf.ThreadPoolExecutor(max_workers=n_threads) as ex:
+            for results in ex.map(_run_chunk, rest):
+                for pk, r in results:
+                    out[pk] = r
+    else:
+        for item in work:
+            for pk, r in _run_chunk(item):
+                out[pk] = r
     return out
 
 

@@ -142,6 +142,7 @@ class TestIterativeSchur:
         out, stats = jax.jit(lambda p: ba.solve(p, opts))(prob)
         assert float(ba.mean_reproj_error_px(out)) < 1e-3
 
+    @pytest.mark.slow
     def test_large_scene_smoke(self):
         # 300 cameras / bounded tracks: the regime the dense solver
         # cannot reach; checks the solver reduces cost substantially

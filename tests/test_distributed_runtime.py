@@ -175,6 +175,7 @@ class TestTwoProcessWorkers:
         )
         return [sys.executable, "-c", code]
 
+    @pytest.mark.slow
     def test_two_processes_split_the_work(self, tmp_path):
         import os
         import subprocess
@@ -204,6 +205,7 @@ class TestTwoProcessWorkers:
         assert done_sets[0] | done_sets[1] == {0, 1}
         assert not (done_sets[0] & done_sets[1]), done_sets
 
+    @pytest.mark.slow
     def test_orphan_lease_takeover_cross_process(self, tmp_path):
         import os
         import subprocess

@@ -55,6 +55,7 @@ def test_full_distributed_pipeline(scene_and_problem):
     assert ctrl.report().startswith("Timings:")
 
 
+@pytest.mark.slow
 def test_pipeline_distributed_final_ba(scene_and_problem):
     sc, cams, images, graph = scene_and_problem
     opts = _options()
