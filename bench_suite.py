@@ -67,7 +67,11 @@ def bench_ba_iterative(dtype, results, smoke=False):
     from dagsfm_tpu.scene import synthetic
     from dagsfm_tpu.sfm import bundle_adjustment as ba
 
-    ncam, npts, mtl = (200, 5000, 8) if smoke else (1000, 50000, 12)
+    # mtl=6 keeps the 1000-camera problem at ~300k observations — the
+    # remote-TPU worker hard-crashes (kernel fault, not OOM) somewhere
+    # between 300k and 400k observations on this toolchain; 300k is the
+    # largest size that benches reliably
+    ncam, npts, mtl = (200, 5000, 8) if smoke else (1000, 50000, 6)
     spec = synthetic.SyntheticSceneSpec(
         num_cameras=ncam, num_points=npts, pixel_noise=0.5, seed=0,
         max_track_length=mtl)
@@ -183,6 +187,7 @@ def bench_mapper(results, smoke=False, modes=("batch", "strict")):
         num_cameras=n, num_points=40 * n, pixel_noise=0.3, seed=2,
         max_track_length=12)
     sc = synthetic.generate(spec)
+    first = True
     for mode in modes:
         cams, images, graph = synthetic.to_matching_problem(sc)
         mapper = IncrementalMapper(
@@ -198,7 +203,12 @@ def bench_mapper(results, smoke=False, modes=("batch", "strict")):
             "metric": f"mapper_images_per_s_{n}img_{mode}",
             "value": round(reg / dt, 3), "unit": "images/s",
             "registered": reg,
+            # the first mode benched pays every jit compile; later modes
+            # reuse the cache (cross-mode rates are not directly
+            # comparable without this flag)
+            "includes_jit_compile": first,
             "vs_baseline": round(reg / dt / 0.5, 3)})
+        first = False
 
 
 BASELINE_NOTE = (
@@ -236,13 +246,16 @@ def run_suite(smoke=False, only=None, out_path="BENCH_SUITE.json",
             import sys
             print(json.dumps(results[-1]), file=sys.stderr, flush=True)
 
+    # ba_iter LAST: a TPU-worker crash there (see bench_ba_iterative
+    # size note) leaves the process without a device — nothing may be
+    # scheduled after it
     axes = [
         ("sift", lambda: bench_sift(results, smoke)),
         ("match", lambda: bench_matcher(results, smoke)),
         ("match_pallas", lambda: bench_matcher_pallas(results, smoke)),
         ("ba", lambda: bench_ba_dense(dtype, results)),
-        ("ba_iter", lambda: bench_ba_iterative(dtype, results, smoke)),
         ("map", lambda: bench_mapper(results, smoke)),
+        ("ba_iter", lambda: bench_ba_iterative(dtype, results, smoke)),
     ]
     for name, fn in axes:
         if only is not None and name not in only:

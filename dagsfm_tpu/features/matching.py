@@ -76,13 +76,13 @@ def match_pairs(descriptors: dict, masks: dict, pairs: list,
     image_id -> (K,) bool. Returns pair -> (M, 2) uint32 match arrays.
 
     use_pallas: route through the fused Pallas top-2 kernel
-    (ops/pallas_matcher) — default on TPU when K is 128-aligned.
+    (ops/pallas_matcher). Default OFF: the kernel is single-pair, so a
+    pair list pays one dispatch per pair (~150x slower end-to-end than
+    the batched XLA matmul path through a remote-TPU tunnel, measured
+    13 vs 2100 pairs/s). Opt in only for single-pair/low-latency use.
     """
     if use_pallas is None:
-        first = next(iter(descriptors.values())) if descriptors else None
-        use_pallas = (jax.default_backend() not in ("cpu",)
-                      and first is not None
-                      and first.shape[0] % 128 == 0)
+        use_pallas = False
     if use_pallas:
         from dagsfm_tpu.ops.pallas_matcher import pallas_match
         out = {}

@@ -19,10 +19,20 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# persistent compile cache keeps repeat test runs fast
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+# NO persistent compile cache: on this machine XLA:CPU emits AOT
+# executables targeting CPU features the host cannot reload (every
+# cache read logs "Compile machine features ... vs host machine
+# features ... could lead to execution errors such as SIGILL"), and
+# SAME-RUN cache round-trips have segfaulted the suite inside
+# jax compilation_cache.get_executable_and_time. Recompiling per run is
+# slower but deterministic.
+
+
+def _host_cache_dir() -> str:
+    """Kept for the subprocess test helpers: returns a per-host scratch
+    dir name, but the cache itself stays disabled (see note above)."""
+    return "/tmp/jax_cache_disabled"
 
 
 def pytest_configure(config):

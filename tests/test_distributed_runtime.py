@@ -162,12 +162,6 @@ class TestTwoProcessWorkers:
             "import jax;"
             "jax.config.update('jax_platforms','cpu');"
             "jax.config.update('jax_enable_x64', True);"
-            "jax.config.update('jax_compilation_cache_dir',"
-            "'/tmp/jax_test_cache');"
-            "jax.config.update('jax_persistent_cache_min_entry_size_bytes',"
-            "-1);"
-            "jax.config.update('jax_persistent_cache_min_compile_time_secs',"
-            "0.5);"
             "from dagsfm_tpu.pipeline.cli import main;"
             f"main(['local_sfm_worker','--database_path','{db}',"
             f"'--work_dir','{wd}','--host_id','{host_id}',"
