@@ -84,36 +84,41 @@ class ClusterJobRunner:
         return os.path.exists(os.path.join(self._out_path(k),
                                            "cameras.bin"))
 
+    def _count_failures(self, k: int) -> int:
+        fail_dir = self._fail_path(k) + ".d"
+        try:
+            return len(os.listdir(fail_dir))
+        except FileNotFoundError:
+            return 0
+
     def is_failed(self, k: int) -> bool:
         """True once the job is tombstoned (>= max_attempts failures) —
         a deterministically failing cluster stops being retried instead
         of livelocking the fleet."""
-        try:
-            with open(self._fail_path(k)) as f:
-                return json.load(f).get("attempts", 0) >= self.max_attempts
-        except (FileNotFoundError, json.JSONDecodeError):
-            return False
+        return self._count_failures(k) >= self.max_attempts
 
     def record_failure(self, k: int) -> int:
-        """Increment the attempts counter and release the lease. Returns
-        the new attempt count (tombstoned at max_attempts)."""
-        attempts = 0
-        try:
-            with open(self._fail_path(k)) as f:
-                attempts = json.load(f).get("attempts", 0)
-        except (FileNotFoundError, json.JSONDecodeError):
-            pass
-        attempts += 1
-        tmp = self._fail_path(k) + f".tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump({"attempts": attempts, "host": self.host_id,
-                       "t": time.time()}, f)
-        os.replace(tmp, self._fail_path(k))
+        """Record one failed attempt and release the lease. Returns the
+        total attempt count (tombstoned at max_attempts).
+
+        The counter is append-only: each failure drops one uniquely-named
+        O_CREAT|O_EXCL marker into <job>.fail.d/ and the count is the
+        number of markers, so concurrent failures on different hosts
+        never lose an increment (a shared-file read-modify-write would
+        undercount under contention and over-retry deterministic
+        failures)."""
+        fail_dir = self._fail_path(k) + ".d"
+        os.makedirs(fail_dir, exist_ok=True)
+        marker = os.path.join(
+            fail_dir, f"{self.host_id}-{os.getpid()}-{time.time_ns()}")
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            json.dump({"host": self.host_id, "t": time.time()}, f)
         try:
             os.remove(self._lease_path(k))
         except FileNotFoundError:
             pass
-        return attempts
+        return self._count_failures(k)
 
     def claim(self, k: int) -> bool:
         """Take the lease for cluster k (returns False if live elsewhere).
@@ -121,14 +126,19 @@ class ClusterJobRunner:
         Fresh claims are ATOMIC: O_CREAT|O_EXCL creation means exactly
         one of any number of simultaneous claimers wins (the round-2
         check-then-write race is gone). Takeover of an EXPIRED lease is
-        last-writer-wins with write-then-verify: both takeover candidates
-        replace the file, then re-read — only the one whose nonce
-        survived proceeds.
+        last-writer-wins BEST-EFFORT: candidates replace the file then
+        re-read after a grace window, which filters most — but not all —
+        double elections (a replace landing after another's verify still
+        slips through). Holders therefore re-check `verify_lease` right
+        before publishing output; output publication itself is an atomic
+        rename, so even a double-run converges to one winner's result.
         """
         if self.is_done(k) or self.is_failed(k):
             return False
         path = self._lease_path(k)
         nonce = f"{self.host_id}-{os.getpid()}-{time.time_ns()}"
+        self._my_nonce = getattr(self, "_my_nonce", {})
+        self._my_nonce[k] = nonce
         payload = json.dumps({"host": self.host_id,
                               "t_start": time.time(), "nonce": nonce})
         try:
@@ -166,9 +176,35 @@ class ClusterJobRunner:
         except (FileNotFoundError, json.JSONDecodeError):
             return False
 
+    def verify_lease(self, k: int) -> bool:
+        """Re-check that OUR nonce still holds the lease — called right
+        before publishing output to close (most of) the expired-lease
+        double-election window (see `claim`)."""
+        nonce = getattr(self, "_my_nonce", {}).get(k)
+        if nonce is None:
+            return False
+        try:
+            with open(self._lease_path(k)) as f:
+                return json.load(f).get("nonce") == nonce
+        except (FileNotFoundError, json.JSONDecodeError, KeyError):
+            return False
+
     def complete(self, k: int, rec) -> None:
+        """Publish the partition checkpoint ATOMICALLY: write to a temp
+        directory, then rename into place. A crash mid-write can never
+        leave a partial output that `is_done` mistakes for complete, and
+        if two double-elected holders both finish, exactly one rename
+        wins and the loser's output is discarded."""
         from dagsfm_tpu.scene import io as scene_io
-        scene_io.write_model_bin(rec, self._out_path(k))
+        out = self._out_path(k)
+        tmp = out + f".tmp.{os.getpid()}.{time.time_ns()}"
+        scene_io.write_model_bin(rec, tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            # another holder published first — keep theirs
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
         try:
             os.remove(self._lease_path(k))
         except FileNotFoundError:
@@ -261,8 +297,9 @@ def run_worker(cameras: dict, images: dict, graph, clusters: list,
         for im in rec.images.values():
             im.cluster_id = spec["cluster_id"]
         if rec.num_reg_images() >= 2:
-            runner.complete(k, rec)
-            done.append(k)
+            if runner.verify_lease(k) or not runner.is_done(k):
+                runner.complete(k, rec)
+                done.append(k)
         else:
             # bounded retry: count the failure; after max_attempts the
             # job is tombstoned so the fleet stops re-running a
@@ -298,7 +335,16 @@ class MatchingJobRunner(ClusterJobRunner):
     def is_done(self, k: int) -> bool:
         return os.path.exists(self._out_path(k))
 
+    def tmp_out_path(self, k: int) -> str:
+        """Scratch path workers write to; `complete_db` renames it into
+        place so matches<k>.db (the is_done sentinel) only ever appears
+        fully written. A crash mid-write leaves only the temp file, and
+        the job stays claimable instead of being silently treated as
+        complete and merged with missing matches."""
+        return self._out_path(k) + f".tmp.{os.getpid()}"
+
     def complete_db(self, k: int) -> None:
+        os.replace(self.tmp_out_path(k), self._out_path(k))
         try:
             os.remove(self._lease_path(k))
         except FileNotFoundError:
@@ -375,19 +421,35 @@ def run_matching_worker(images: dict, cameras: dict, jobs: list,
         spec = jobs[k]
         sub_images = {i: images[i] for i in spec["image_ids"]}
         sub_cams = {i: cameras[i] for i in spec["image_ids"]}
+        tmp_db = runner.tmp_out_path(jid)
         fp = FeaturePipeline(sub_images, sub_cams,
                              pipeline_options or FeaturePipelineOptions(),
-                             database_path=runner._out_path(jid))
+                             database_path=tmp_db)
         try:
             fp.extract_features()
             fp.match_and_verify(
                 pairs=[tuple(p) for p in spec["pairs"]])
             fp.write_database()
-        except Exception:
+        except Exception as exc:  # noqa: BLE001 — worker must outlive one bad job
+            # bounded retry, same as run_worker: count the failure and
+            # move on to the next claimable job instead of idling the
+            # worker for the rest of the queue
+            try:
+                os.remove(tmp_db)
+            except FileNotFoundError:
+                pass
             runner.record_failure(jid)
-            raise
-        runner.complete_db(jid)
-        done.append(jid)
+            print(f"[matching-worker {host_id}] job {jid} failed: {exc!r}")
+            continue
+        if runner.verify_lease(jid) or not os.path.exists(
+                runner._out_path(jid)):
+            runner.complete_db(jid)
+            done.append(jid)
+        else:  # lost an expired-lease re-election after takeover
+            try:
+                os.remove(tmp_db)
+            except FileNotFoundError:
+                pass
     return done
 
 

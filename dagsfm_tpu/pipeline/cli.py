@@ -48,16 +48,30 @@ def _load_images_from_dir(image_path: str):
     return out, names
 
 
+def _image_reader_opts(args):
+    """ImageReaderOptions from the shared --ImageReader-parity flags
+    (ref image_reader.h:64-83: default SIMPLE_RADIAL + EXIF focal)."""
+    from dagsfm_tpu.scene.image_reader import ImageReaderOptions
+    return ImageReaderOptions(
+        camera_model=getattr(args, "camera_model", "SIMPLE_RADIAL"),
+        single_camera=bool(getattr(args, "single_camera", False)),
+        camera_params=getattr(args, "camera_params", "") or "",
+        default_focal_length_factor=getattr(
+            args, "default_focal_length_factor", 1.2))
+
+
+def _load_images_and_cameras(args):
+    """Directory -> (images, names, cameras) with EXIF focal priors."""
+    from dagsfm_tpu.scene.image_reader import read_images_with_cameras
+    return read_images_with_cameras(args.image_path,
+                                    _image_reader_opts(args))
+
+
 def cmd_feature_extractor(args):
     from dagsfm_tpu.features import sift
     from dagsfm_tpu.pipeline.feature_pipeline import (FeaturePipeline,
                                                       FeaturePipelineOptions)
-    from dagsfm_tpu.scene import cameras as cm
-    images, names = _load_images_from_dir(args.image_path)
-    cams = {}
-    for i, img in images.items():
-        h, w = img.shape
-        cams[i] = cm.make_simple_camera(i, w, h, model="SIMPLE_PINHOLE")
+    images, names, cams = _load_images_and_cameras(args)
     opts = FeaturePipelineOptions()
     opts.sift = sift.SiftOptions(
         max_num_features=args.max_num_features,
@@ -74,10 +88,7 @@ def cmd_feature_extractor(args):
 def _run_matcher(args, mode):
     from dagsfm_tpu.pipeline.feature_pipeline import (FeaturePipeline,
                                                       FeaturePipelineOptions)
-    images, names = _load_images_from_dir(args.image_path)
-    from dagsfm_tpu.scene import cameras as cm
-    cams = {i: cm.make_simple_camera(i, img.shape[1], img.shape[0])
-            for i, img in images.items()}
+    images, names, cams = _load_images_and_cameras(args)
     opts = FeaturePipelineOptions(pair_mode=mode)
     fp = FeaturePipeline(images, cams, opts, database_path=args.database_path)
     fp.run()
@@ -219,9 +230,7 @@ def cmd_automatic_reconstructor(args):
     from dagsfm_tpu.scene import io as scene_io
     from dagsfm_tpu.sfm.incremental_mapper import (IncrementalMapper,
                                                    MapperOptions)
-    images, names = _load_images_from_dir(args.image_path)
-    cams = {i: cm.make_simple_camera(i, img.shape[1], img.shape[0])
-            for i, img in images.items()}
+    images, names, cams = _load_images_and_cameras(args)
     db = os.path.join(args.workspace_path, "database.db")
     os.makedirs(args.workspace_path, exist_ok=True)
     fp = FeaturePipeline(images, cams,
@@ -873,6 +882,14 @@ def build_parser() -> argparse.ArgumentParser:
         sp.set_defaults(func=fn)
         return sp
 
+    # --ImageReader.* parity flags (ref image_reader.h:64-83)
+    image_reader_flags = [
+        ("--camera_model", dict(default="SIMPLE_RADIAL")),
+        ("--single_camera", dict(type=int, default=0)),
+        ("--camera_params", dict(default="")),
+        ("--default_focal_length_factor", dict(type=float, default=1.2)),
+    ]
+
     add("feature_extractor", cmd_feature_extractor, [
         ("--image_path", dict(required=True)),
         ("--database_path", dict(required=True)),
@@ -880,14 +897,14 @@ def build_parser() -> argparse.ArgumentParser:
         ("--first_octave", dict(type=int, default=-1)),
         ("--num_octaves", dict(type=int, default=0)),
         ("--max_image_size", dict(type=int, default=3200)),
-    ])
+    ] + image_reader_flags)
     for name, fn in (("exhaustive_matcher", cmd_exhaustive_matcher),
                      ("sequential_matcher", cmd_sequential_matcher),
                      ("vocab_tree_matcher", cmd_vocab_tree_matcher)):
         add(name, fn, [
             ("--image_path", dict(required=True)),
             ("--database_path", dict(required=True)),
-        ])
+        ] + image_reader_flags)
     add("mapper", cmd_mapper, [
         ("--database_path", dict(required=True)),
         ("--output_path", dict(required=True)),
@@ -921,7 +938,7 @@ def build_parser() -> argparse.ArgumentParser:
     add("automatic_reconstructor", cmd_automatic_reconstructor, [
         ("--image_path", dict(required=True)),
         ("--workspace_path", dict(required=True)),
-    ])
+    ] + image_reader_flags)
     add("synthetic_scene", cmd_synthetic_scene, [
         ("--output_path", dict(required=True)),
         ("--num_cameras", dict(type=int, default=20)),

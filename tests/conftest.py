@@ -38,3 +38,22 @@ def _host_cache_dir() -> str:
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running end-to-end tests")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop every compiled XLA executable between test modules.
+
+    Without this, a single pytest process accumulates the jitted programs
+    of ~40 modules; on small 2-CPU boxes XLA:CPU's compile path has
+    reproducibly aborted/segfaulted (inside backend_compile_and_load)
+    after ~150 tests' worth of accumulation, killing the suite mid-run.
+    Per-module cache clearing bounds the live-executable count at the
+    cost of some recompilation, and combined with xdist loadfile
+    distribution (see pytest.ini) keeps the default tier finishable.
+    """
+    yield
+    jax.clear_caches()
