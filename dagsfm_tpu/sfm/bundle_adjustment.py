@@ -104,6 +104,9 @@ class BAOptions(NamedTuple):
     dense_threshold: int = 250
     max_linear_iterations: int = 100   # ref BA config: 100 linear iters
     linear_rtol: float = 1e-3          # CG stop: ||r|| <= rtol * ||b||
+    # LM early exit: accepted step with relative cost improvement below
+    # ftol terminates (Ceres function_tolerance analog; 0 disables)
+    ftol: float = 1e-6
 
 
 class BAStats(NamedTuple):
@@ -138,8 +141,14 @@ def make_problem(arrays, max_track_len: int = 16,
     opn = np.asarray(arrays.obs_point)
     omn = np.asarray(arrays.obs_mask)
     if omn.any():
+        # round the slot width to a power of two: T is a jit shape key,
+        # and a multiple-of-4 rounding produced one recompile per
+        # distinct track length across an incremental run
         actual = int(np.bincount(opn[omn], minlength=P).max())
-        max_track_len = min(max_track_len, max(4, (actual + 3) // 4 * 4))
+        t = 4
+        while t < actual:
+            t *= 2
+        max_track_len = min(max_track_len, t)
     # group observation indices by point (vectorized: stable sort by
     # point id, slot position = rank within group; overflow slots are
     # dropped below)
@@ -181,9 +190,12 @@ def make_problem(arrays, max_track_len: int = 16,
     # per-observation kernel then does real work only, padded to a
     # power-of-2 bucket for shape reuse across LM solves
     live = np.nonzero(om)[0]
+    # x4 bucket steps: the live-observation count is a jit shape key and
+    # grows continuously over an incremental run — power-of-two steps
+    # recompiled the LM solver at every doubling
     n_bucket = 256
     while n_bucket < max(len(live), 1):
-        n_bucket *= 2
+        n_bucket *= 4
     n_bucket = min(n_bucket, N)
     if n_bucket < N:
         perm = np.zeros(N, np.int64)
@@ -238,15 +250,19 @@ def make_problem(arrays, max_track_len: int = 16,
 def _group_obs_by_image(obs_image, obs_mask, num_images: int):
     """(I, M) observation-index slots grouped by image (dual of trk_obs).
 
-    M = max live observations of any image, rounded up to a multiple of 8
-    so buckets reuse across LM solves of similar problems.
+    M = max live observations of any image, rounded up to a POWER OF TWO:
+    M is a jit shape key, and a multiple-of-8 rounding caused a recompile
+    nearly every BA call of an incremental run (the per-image max grows
+    continuously).
     """
     import numpy as np
     oi = np.asarray(obs_image)
     om = np.asarray(obs_mask)
     live = np.nonzero(om)[0]
     counts = np.bincount(oi[live], minlength=num_images)
-    M = max(8, int(-(-int(counts.max(initial=0)) // 8) * 8))
+    M = 8
+    while M < int(counts.max(initial=0)):
+        M *= 2
     cam_obs = np.zeros((num_images, M), np.int32)
     cam_mask = np.zeros((num_images, M), bool)
     order = np.argsort(oi[live], kind="stable")
@@ -1077,10 +1093,20 @@ def _plain_cost(prob: BAProblem, opts: BAOptions) -> jax.Array:
     return jnp.sum(jnp.where(prob.obs_mask, c, 0.0))
 
 
-def solve(prob: BAProblem, opts: BAOptions = BAOptions()):
-    """Run LM to convergence (fixed max iterations, adaptive lambda).
+def solve(prob: BAProblem, opts: BAOptions = BAOptions(),
+          max_iters=None):
+    """Run LM to convergence (early exit on ftol, adaptive lambda).
 
     Returns (problem, BAStats). Jit-safe; call under jax.jit for speed.
+
+    max_iters: optional TRACED iteration bound overriding the static
+    opts.max_iterations — callers that solve the same problem shapes
+    with different budgets (local vs global BA in the incremental
+    mapper) share one compiled executable instead of one per budget.
+    The loop is a lax.while_loop, so converged solves stop paying for
+    the remaining budget (an accepted step improving relative cost by
+    < opts.ftol terminates; the reference's Ceres LM has the same
+    function_tolerance exit).
     """
     refine = _refine_any(opts)
     pinhole_only = opts.pinhole_only and not refine
@@ -1092,8 +1118,8 @@ def solve(prob: BAProblem, opts: BAOptions = BAOptions()):
     # whole problem pytree. cam_params rides the carry so accepted
     # intrinsics updates persist (the round-2 NotImplementedError guard
     # is gone: the carry now includes them).
-    def lm_iter(carry, _):
-        (q, t, X, cp), lam, cost = carry
+    def lm_iter(carry):
+        (q, t, X, cp), lam, cost, it, done, small_cnt = carry
         p = prob._replace(image_qvec=q, image_tvec=t, points=X,
                           cam_params=cp)
         r, Jc, Jp, Jg = _residuals_and_jacobians(p, refine, pinhole_only)
@@ -1108,20 +1134,34 @@ def solve(prob: BAProblem, opts: BAOptions = BAOptions()):
             (trial.image_qvec, trial.image_tvec, trial.points,
              trial.cam_params),
             (q, t, X, cp))
+        # converged: TWO CONSECUTIVE accepted steps with relative
+        # improvement below ftol. A single small accepted step is not
+        # convergence — after a rejection streak lambda is large and LM
+        # takes tiny damped steps that later re-accelerate once lambda
+        # anneals back down (observed: a one-step exit stranded the
+        # init-pair BA at 100x its converged cost). Rejected steps keep
+        # trying until the lambda ceiling marks stagnation.
+        rel = (cost - new_cost) / jnp.maximum(cost, 1e-30)
+        small = accept & (rel < opts.ftol)
+        small_cnt = jnp.where(small, small_cnt + 1, 0)
+        done = (small_cnt >= 2) | (~accept & (lam >= 1e6))
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-10),
                         jnp.minimum(lam * 4.0, 1e6))
-        return (state, lam, cost), cost
+        return (state, lam, cost, it + 1, done, small_cnt)
 
     lam0 = jnp.asarray(opts.init_lambda, prob.obs_xy.dtype)
     state0 = (prob.image_qvec, prob.image_tvec, prob.points,
               prob.cam_params)
-    (state, lam, cost), _ = jax.lax.scan(
-        lm_iter, (state0, lam0, init_cost), None,
-        length=opts.max_iterations)
+    bound = jnp.asarray(opts.max_iterations if max_iters is None
+                        else max_iters, jnp.int32)
+    state, lam, cost, iters, _, _ = jax.lax.while_loop(
+        lambda c: (c[3] < bound) & ~c[4],
+        lm_iter, (state0, lam0, init_cost, jnp.asarray(0, jnp.int32),
+                  jnp.asarray(False), jnp.asarray(0, jnp.int32)))
     prob = prob._replace(image_qvec=state[0], image_tvec=state[1],
                          points=state[2], cam_params=state[3])
-    stats = BAStats(init_cost, cost, jnp.asarray(opts.max_iterations), lam)
+    stats = BAStats(init_cost, cost, iters, lam)
     return prob, stats
 
 

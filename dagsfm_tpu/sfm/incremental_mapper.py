@@ -90,10 +90,18 @@ class MapperOptions:
     seed: int = 0
 
 
-def _bucket(n: int, minimum: int = 64) -> int:
+def _bucket(n: int, minimum: int = 64, factor: int = 2) -> int:
+    """Round n up to minimum * factor^k.
+
+    Every padded size is a jit shape key; the per-registration kernels
+    use coarse buckets (minimum=256, factor=4 -> 256/1024/4096) so an
+    entire incremental run compiles each kernel a handful of times
+    instead of once per power of two (compiles through the remote-TPU
+    tunnel cost tens of seconds — they, not FLOPs, dominated the
+    mapper's cold wall-clock)."""
     b = minimum
     while b < n:
-        b *= 2
+        b *= factor
     return b
 
 
@@ -166,10 +174,12 @@ class IncrementalMapper:
         if cam.model_id in (cm.SIMPLE_PINHOLE, cm.PINHOLE):
             K = cam.calibration_matrix()
             return (xys - K[:2, 2]) / np.array([K[0, 0], K[1, 1]])
-        params = jnp.asarray(cm.pad_params(jnp.asarray(cam.params),
-                                           cam.model_id))
-        uv = cm.cam_from_img(cam.model_id, params, jnp.asarray(xys))
-        return np.asarray(uv)
+        params = np.zeros(cm.MAX_CAMERA_PARAMS)
+        params[: len(cam.params)] = cam.params
+        n = _bucket(len(xys), 256, 4)
+        uv = np.asarray(_jit_cam_from_img(
+            cam.model_id, jnp.asarray(params), jnp.asarray(_pad_to(xys, n))))
+        return uv[: len(xys)]
 
     def _focal(self, image_id: int) -> float:
         return self._cam_of(image_id).focal()
@@ -194,7 +204,7 @@ class IncrementalMapper:
             return None
         x1 = self._normalize(i, self.rec.images[i].xys[m[:, 0]])
         x2 = self._normalize(j, self.rec.images[j].xys[m[:, 1]])
-        n = _bucket(len(m))
+        n = _bucket(len(m), 256, 4)
         mask = np.zeros(n, bool)
         mask[: len(m)] = True
         x1p = _pad_to(x1, n)
@@ -212,32 +222,15 @@ class IncrementalMapper:
         m, x1p, x2p, mask, res = out
         if int(res.num_inliers) < self.opts.init_min_num_inliers:
             return False
-        R, t, n_front = epi.pose_from_essential(
-            res.model, jnp.asarray(x1p), jnp.asarray(x2p), res.inliers)
+        R, t, n_front, X, ang, z1, z2 = jax.device_get(_init_geometry(
+            res.model, jnp.asarray(x1p), jnp.asarray(x2p), res.inliers))
         if int(n_front) < self.opts.init_min_num_inliers:
             return False
-        # triangulate inliers, check median angle
         q1 = np.array([1.0, 0, 0, 0])
         t1 = np.zeros(3)
-        q2 = np.asarray(rops.rotmat_to_quat(R))
+        q2 = np.asarray(rops.rotmat_to_quat_np(R))
         t2 = np.asarray(t)
-        N = x1p.shape[0]
-        X = np.asarray(tri.triangulate_two_view(
-            jnp.broadcast_to(jnp.asarray(q1), (N, 4)),
-            jnp.broadcast_to(jnp.asarray(t1), (N, 3)),
-            jnp.broadcast_to(jnp.asarray(q2), (N, 4)),
-            jnp.broadcast_to(jnp.asarray(t2), (N, 3)),
-            jnp.asarray(x1p), jnp.asarray(x2p)))
         inl = np.asarray(res.inliers)
-        from dagsfm_tpu.ops.projection import triangulation_angles
-        ang = np.degrees(np.asarray(triangulation_angles(
-            jnp.broadcast_to(jnp.asarray(q1), (N, 4)),
-            jnp.broadcast_to(jnp.asarray(t1), (N, 3)),
-            jnp.broadcast_to(jnp.asarray(q2), (N, 4)),
-            jnp.broadcast_to(jnp.asarray(t2), (N, 3)),
-            jnp.asarray(X))))
-        z1 = X[:, 2]
-        z2 = (X @ np.asarray(R).T + t2)[:, 2]
         good = inl & (z1 > 1e-3) & (z2 > 1e-3) & \
             (ang > self.opts.min_tri_angle_deg)
         if good.sum() < self.opts.init_min_num_inliers:
@@ -327,7 +320,7 @@ class IncrementalMapper:
         pids = np.array(pids)
         X = np.stack([self.rec.points3D[p].xyz for p in pids])
 
-        n = _bucket(len(X))
+        n = _bucket(len(X), 256, 4)
         mask = np.zeros(n, bool)
         mask[: len(X)] = True
         Xp = _pad_to(X, n)
@@ -370,11 +363,11 @@ class IncrementalMapper:
 
         Rt = np.asarray(res.model)
         R, t = Rt[:, :3], Rt[:, 3]
-        R2, t2 = ap.refine_pose(jnp.asarray(R), jnp.asarray(t),
+        q2, t2 = _refine_pose_q(jnp.asarray(R), jnp.asarray(t),
                                 jnp.asarray(Xp), jnp.asarray(uvp),
                                 res.inliers)
         im = self.rec.images[image_id]
-        im.qvec = np.asarray(rops.rotmat_to_quat(R2))
+        im.qvec = np.asarray(q2)
         im.tvec = np.asarray(t2)
         self.rec.register_image(image_id)
 
@@ -443,7 +436,7 @@ class IncrementalMapper:
             x2[rows] = self._normalize(int(j),
                                        self.rec.images[int(j)].xys[kjs])
 
-        n = _bucket(len(cand))
+        n = _bucket(len(cand), 256, 4)
         X = np.asarray(_triangulate_checked(
             jnp.asarray(_pad_to(q1, n)), jnp.asarray(_pad_to(t1, n)),
             jnp.asarray(_pad_to(q2, n)), jnp.asarray(_pad_to(t2, n)),
@@ -625,7 +618,7 @@ class IncrementalMapper:
             return 0
         x1 = self._normalize(i, im_i.xys[cand[:, 0]])
         x2 = self._normalize(j, im_j.xys[cand[:, 1]])
-        n = _bucket(len(cand))
+        n = _bucket(len(cand), 256, 4)
         q1 = np.broadcast_to(im_i.qvec, (len(cand), 4))
         t1 = np.broadcast_to(im_i.tvec, (len(cand), 3))
         q2 = np.broadcast_to(im_j.qvec, (len(cand), 4))
@@ -666,24 +659,30 @@ class IncrementalMapper:
         cam_ids, img_ids, pt_ids = ids
         # arrays.image_* are bucket-padded beyond len(img_ids): pads are
         # constant (identity) cameras with no observations
-        # Gauge: two full poses pinned, vs the reference's one pose plus
-        # one translation COMPONENT (7 gauge dofs exactly). Pinning 12
-        # dofs over-constrains by 5, which only forbids gauge motions BA
-        # would anyway not use (the two anchors are themselves solution
-        # points); measured effect on final cost/ATE in the synthetic
-        # suites is below noise, and block-level masking keeps every
-        # solver path scatter-free (a per-COMPONENT mask would put a
-        # (I,6) mask inside all four Schur assemblies).
+        # Gauge: ONE full pose pinned (6 dofs); the scale dof is left to
+        # LM damping, and absolute scale is restored downstream by the
+        # Sim(3) aligner when partitions merge. The reference pins one
+        # pose + one translation COMPONENT (7 dofs exactly,
+        # FixGauge); pinning a SECOND full pose instead (as earlier
+        # rounds did) over-constrains by 5 REAL dofs — fatally so for
+        # the init-pair BA, where it froze the (noisy) two-view relative
+        # pose forever and the 4px filter then gutted the model.
+        # Block-level masking keeps every solver path scatter-free (a
+        # per-COMPONENT mask would put an (I,6) mask inside all four
+        # Schur assemblies).
         const = np.ones(arrays.image_qvec.shape[0], bool)
         for k, i in enumerate(img_ids):
             const[k] = i in const_images
         if const[: len(img_ids)].sum() == 0 and len(img_ids) >= 2:
-            const[:2] = True
+            const[:1] = True
         # intrinsics refinement for cameras without a focal prior (ref
         # optim/bundle_adjustment.cc:338 camera params as variable
         # blocks; gated per-camera by prior_focal)
-        eligible = np.array([not self.rec.cameras[c].prior_focal
-                             for c in cam_ids], bool)
+        # padded camera rows (arrays.cam_model_id is bucket-padded past
+        # len(cam_ids)) are never eligible
+        eligible = np.zeros(arrays.cam_model_id.shape[0], bool)
+        eligible[: len(cam_ids)] = [not self.rec.cameras[c].prior_focal
+                                    for c in cam_ids]
         refine_on = bool(eligible.any()) and (
             self.opts.ba_refine_focal or self.opts.ba_refine_principal
             or self.opts.ba_refine_extra)
@@ -695,8 +694,9 @@ class IncrementalMapper:
                 eligible=eligible)
         prob = ba.make_problem(arrays, max_track_len=self.opts.max_track_len,
                                const_image=const, cam_refine=cam_refine)
-        opts = ba.BAOptions(max_iterations=max_iterations, loss="cauchy",
-                            loss_scale=1.0,
+        # max_iterations rides as a TRACED argument so local BA (15) and
+        # global BA (40) of the same problem shapes share one executable
+        opts = ba.BAOptions(loss="cauchy", loss_scale=1.0,
                             refine_focal=refine_on and
                             self.opts.ba_refine_focal,
                             refine_principal=refine_on and
@@ -704,7 +704,7 @@ class IncrementalMapper:
                             refine_extra=refine_on and
                             self.opts.ba_refine_extra,
                             pinhole_only=ba.all_pinhole(arrays))
-        prob, stats = _jit_ba_solve(prob, opts)
+        prob, stats = _jit_ba_solve(prob, max_iterations, opts)
         # write back
         q = np.asarray(prob.image_qvec)
         t = np.asarray(prob.image_tvec)
@@ -747,7 +747,9 @@ class IncrementalMapper:
         reg = self.rec.reg_image_ids
         if len(reg) < 2:
             return
-        const = set(reg[:2])
+        # one pinned pose; scale rides on LM damping (see _run_ba gauge
+        # note — pinning two full poses froze init-pair relative pose)
+        const = set(reg[:1])
         self._run_ba(reg, self.opts.ba_global_max_iterations, const)
         # drop images whose (refined) camera went degenerate (ref
         # controller filter loop -> Reconstruction::FilterImages;
@@ -962,6 +964,42 @@ class IncrementalMapper:
 import functools
 
 
+@jax.jit
+def _jit_cam_from_img(model_id, params, xys):
+    """Jitted pixel->normalized-cam undistortion (bucketized by caller;
+    the eager call re-traced its iterative-inverse loop per shape)."""
+    return cm.cam_from_img(model_id, params, xys)
+
+
+@jax.jit
+def _refine_pose_q(R, t, X, uv, inliers):
+    """Jitted pose refinement returning (quat, t) — ONE device dispatch
+    per registration (the unjitted call re-traced its internal scan per
+    call: ~1 recompile + dozens of eager op round-trips each time)."""
+    R2, t2 = ap.refine_pose(R, t, X, uv, inliers)
+    return rops.rotmat_to_quat(R2), t2
+
+
+@jax.jit
+def _init_geometry(model, x1p, x2p, inliers):
+    """Fused initial-pair geometry: pose from essential + two-view
+    triangulation + triangulation angles + cheirality depths, one
+    device dispatch (was 4+ eager calls with re-traced closures)."""
+    from dagsfm_tpu.ops.projection import triangulation_angles
+    R, t, n_front = epi.pose_from_essential(model, x1p, x2p, inliers)
+    N = x1p.shape[0]
+    dtype = x1p.dtype
+    q1 = jnp.zeros((N, 4), dtype).at[:, 0].set(1.0)
+    t1 = jnp.zeros((N, 3), dtype)
+    q2 = jnp.broadcast_to(rops.rotmat_to_quat(R), (N, 4))
+    t2 = jnp.broadcast_to(t, (N, 3))
+    X = tri.triangulate_two_view(q1, t1, q2, t2, x1p, x2p)
+    ang = triangulation_angles(q1, t1, q2, t2, X)
+    z1 = X[:, 2]
+    z2 = (X @ R.T + t)[:, 2]
+    return R, t, n_front, X, jnp.degrees(ang), z1, z2
+
+
 @functools.partial(jax.jit, static_argnames=("num_hyps",))
 def _ransac_essential(key, x1, x2, mask, thr, num_hyps):
     return rnsc.ransac(
@@ -1049,8 +1087,8 @@ def _triangulate_checked(q1, t1, q2, t2, x1, x2):
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
-def _jit_ba_solve(prob, opts):
-    return ba.solve(prob, opts)
+def _jit_ba_solve(prob, max_iters, opts):
+    return ba.solve(prob, opts, max_iters=max_iters)
 
 
 def _export_sub_arrays(rec: Reconstruction, image_ids: list, point_ids: list):
@@ -1061,12 +1099,18 @@ def _export_sub_arrays(rec: Reconstruction, image_ids: list, point_ids: list):
     cam_index = {c: k for k, c in enumerate(cam_ids)}
     img_index = {i: k for k, i in enumerate(image_ids)}
 
-    C = len(cam_ids)
+    # camera count is ALSO a jit shape key (cam_params is (C, ...)): with
+    # one camera per image, an unpadded C forced a recompile on nearly
+    # every global BA of an incremental run. Padded cameras are inert:
+    # no observation references them, their cam_refine rows are zero,
+    # and the joint solve pins masked blocks via its freevec identity.
+    C = _bucket(len(cam_ids), 4)
     I = _bucket(len(image_ids), 8)   # bucket image count to limit recompiles
-    cam_model_id = np.array([rec.cameras[c].model_id for c in cam_ids],
-                            np.int32)
+    cam_model_id = np.zeros(C, np.int32)
     cam_params = np.zeros((C, cm.MAX_CAMERA_PARAMS))
+    cam_params[:, 0] = 1.0  # benign focal for pad rows
     for k, c in enumerate(cam_ids):
+        cam_model_id[k] = rec.cameras[c].model_id
         p = np.asarray(rec.cameras[c].params)
         cam_params[k, : len(p)] = p
     image_qvec = np.zeros((I, 4))
@@ -1096,8 +1140,8 @@ def _export_sub_arrays(rec: Reconstruction, image_ids: list, point_ids: list):
             obs.append((img_index[i], pidx, rec.images[i].xys[kp]))
     if len(pts) == 0 or len(obs) == 0:
         return None, None
-    P = _bucket(len(pts), 16)
-    N = _bucket(len(obs), 64)
+    P = _bucket(len(pts), 64, 4)
+    N = _bucket(len(obs), 256, 4)
     points_xyz = _pad_to(np.stack(pts), P)
     points_mask = np.zeros(P, bool)
     points_mask[: len(pts)] = True
