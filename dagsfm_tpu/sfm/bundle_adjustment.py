@@ -701,9 +701,11 @@ def _build_and_solve_iterative_joint(prob: BAProblem, r_w, Jc_w, Jp_w,
     b_p = b_p * free[:, None]
     b_g = b_g * gfree
 
-    # SCHUR_JACOBI: diagonal pose + intrinsics blocks of S
+    # SCHUR_JACOBI: diagonal pose + intrinsics blocks of S (segment-sum
+    # reduce — see _obs_reduce_wide for the TPU kernel-fault workaround)
     Bc = jnp.einsum("nik,njk->nij", WcVinv, Wc)
-    Sdiag_p = U_ppd - cam_reduce(Bc.reshape(-1, 36)).reshape(I, 6, 6)
+    Sdiag_p = U_ppd - _obs_reduce_wide(
+        Bc.reshape(-1, 36), prob, I).reshape(I, 6, 6)
     Sdiag_p = Sdiag_p * free[:, None, None] + \
         (1.0 - free)[:, None, None] * eye6[None]
     Sdiag_p = 0.5 * (Sdiag_p + jnp.swapaxes(Sdiag_p, -1, -2)) \
@@ -711,8 +713,8 @@ def _build_and_solve_iterative_joint(prob: BAProblem, r_w, Jc_w, Jp_w,
     Minv_p = jnp.linalg.solve(Sdiag_p, jnp.broadcast_to(
         eye6, Sdiag_p.shape))
     Bg = jnp.einsum("nik,njk->nij", WgVinv, Wg)
-    Sdiag_g = U_ggd - fold(cam_reduce(
-        Bg.reshape(-1, G * G)).reshape(I, G * G)).reshape(C, G, G)
+    Sdiag_g = U_ggd - fold(_obs_reduce_wide(
+        Bg.reshape(-1, G * G), prob, I).reshape(I, G * G)).reshape(C, G, G)
     gf2 = gfree[:, :, None] * gfree[:, None, :]
     Sdiag_g = Sdiag_g * gf2 + (1.0 - gfree)[:, :, None] * eyeG[None] * \
         jnp.ones((C, 1, 1), dtype)
@@ -790,6 +792,23 @@ def _build_and_solve_iterative_joint(prob: BAProblem, r_w, Jc_w, Jp_w,
     return dcam, dint, dpt
 
 
+def _obs_reduce_wide(z, prob, num_images: int):
+    """Per-observation (N, K) payload -> per-image (I, K) sums via masked
+    segment_sum.
+
+    ONLY for the wide (K=36/64) once-per-LM-iteration Sdiag reductions:
+    the gather-based cam_obs slot reduce — used everywhere else for its
+    scatter-free MXU shape — hits an XLA:TPU kernel fault when the fused
+    (I, M, 36) gather+subtract program crosses ~400k observations with
+    M=512 (reproduced: TPU worker 'kernel fault, not OOM'; the same
+    values via segment_sum or a slot-chunked loop agree bit-for-bit and
+    do not fault). The narrow (K<=8) per-CG-iteration reduces keep the
+    fast gather path."""
+    zm = z * prob.obs_mask[:, None].astype(z.dtype)
+    return jax.ops.segment_sum(zm, prob.obs_image,
+                               num_segments=num_images)
+
+
 def _build_and_solve_iterative(prob: BAProblem, r_w, Jc_w, Jp_w, lam,
                                opts: BAOptions):
     """ITERATIVE_SCHUR regime: SCHUR_JACOBI-preconditioned CG on the
@@ -847,9 +866,11 @@ def _build_and_solve_iterative(prob: BAProblem, r_w, Jc_w, Jp_w, lam,
     b = gc - cam_reduce(jnp.einsum("nik,nk->ni", WVinv, gp[prob.obs_point]))
     b = b * free[:, None]
 
-    # SCHUR_JACOBI preconditioner: diagonal blocks of S
+    # SCHUR_JACOBI preconditioner: diagonal blocks of S (segment-sum
+    # reduce — see _obs_reduce_wide for the TPU kernel-fault workaround)
     B = jnp.einsum("nik,njk->nij", WVinv, W)                # (N,6,6)
-    Sdiag = Ud - cam_reduce(B.reshape(-1, 36)).reshape(I, 6, 6)
+    Sdiag = Ud - _obs_reduce_wide(
+        B.reshape(-1, 36), prob, I).reshape(I, 6, 6)
     Sdiag = Sdiag * free[:, None, None] + \
         (1.0 - free)[:, None, None] * eyeC[None]
     Sdiag = 0.5 * (Sdiag + jnp.swapaxes(Sdiag, -1, -2)) + 1e-10 * eyeC[None]
