@@ -1,6 +1,6 @@
-"""Full benchmark suite: BA (dense + iterative-at-scale), SIFT
-throughput, matcher throughput — the BASELINE.md axes beyond bench.py's
-single headline line.
+"""Full benchmark suite: BA (dense + iterative-at-scale), SIFT, matcher
+(XLA + fused Pallas), incremental mapper (cold + warm, both modes),
+two-view verification, vocab-tree retrieval.
 
 Each metric prints one JSON line and everything is also written to
 BENCH_SUITE.json. Run on real TPU hardware (no platform overrides) or on
@@ -8,17 +8,26 @@ CPU for smoke (`--smoke` shrinks sizes).
 
 vs_baseline denominators (the reference publishes no numbers —
 BASELINE.md): Ceres DENSE_SCHUR ~20 LM iters/s on the 100-cam problem;
-Ceres ITERATIVE_SCHUR ~2 LM iters/s at 1000 cams / 600k obs on a
-modern multicore CPU; SiftGPU ~10 images/s at ~1k features (GTX-class,
-the reference's hardware era); SiftGPU matcher ~100 pairs/s at 1k
-features.
+Ceres ITERATIVE_SCHUR ~2 LM iters/s at 1000 cams / ~1M obs on a modern
+multicore CPU; SiftGPU ~10 images/s at ~1k features (GTX-class, the
+reference's hardware era); SiftGPU matcher ~100 pairs/s at 1k features;
+COLMAP mapper ~0.5 img/s; COLMAP geometric verification ~100 pairs/s
+(multithreaded CPU RANSAC); COLMAP vocab-tree query ~20 q/s.
+
+Utilization accounting: axes with a well-defined analytic FLOP count
+also report achieved_gflops and mfu_pct against the v5e MXU bf16 peak
+(197 TFLOP/s, estimate) so "N x an estimated baseline" can be read
+against absolute headroom.
 """
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
+
+V5E_PEAK_BF16_GFLOPS = 197_000.0   # estimate; labels absolute headroom
 
 
 def _timeit(fn, reps=3):
@@ -33,9 +42,13 @@ def _timeit(fn, reps=3):
     return (time.perf_counter() - t0) / reps
 
 
+def _mfu(gflops_done, dt):
+    g = gflops_done / dt
+    return round(g, 1), round(100.0 * g / V5E_PEAK_BF16_GFLOPS, 3)
+
+
 def bench_ba_dense(dtype, results):
     import jax
-    import jax.numpy as jnp
     from dagsfm_tpu.scene import synthetic
     from dagsfm_tpu.sfm import bundle_adjustment as ba
 
@@ -51,7 +64,7 @@ def bench_ba_dense(dtype, results):
     const[:2] = True
     prob = ba.make_problem(arrays, const_image=const, dtype=dtype)
     iters = 10
-    opts = ba.BAOptions(max_iterations=iters, loss="cauchy",
+    opts = ba.BAOptions(max_iterations=iters, loss="cauchy", ftol=0.0,
                         loss_scale=1.0, pinhole_only=ba.all_pinhole(arrays))
     solve = jax.jit(lambda p: ba.solve(p, opts))
     dt = _timeit(lambda: solve(prob)[0].points.sum())
@@ -63,15 +76,14 @@ def bench_ba_dense(dtype, results):
 
 def bench_ba_iterative(dtype, results, smoke=False):
     import jax
-    import jax.numpy as jnp
     from dagsfm_tpu.scene import synthetic
     from dagsfm_tpu.sfm import bundle_adjustment as ba
 
-    # mtl=6 keeps the 1000-camera problem at ~300k observations — the
-    # remote-TPU worker hard-crashes (kernel fault, not OOM) somewhere
-    # between 300k and 400k observations on this toolchain; 300k is the
-    # largest size that benches reliably
-    ncam, npts, mtl = (200, 5000, 8) if smoke else (1000, 50000, 6)
+    # 1M observations at 1000 cameras — the reference's ITERATIVE_SCHUR
+    # regime at full size. (The former 300k ceiling was an XLA:TPU
+    # kernel fault in the Sdiag assembly, fixed by _obs_reduce_wide;
+    # this axis no longer needs to run last as crash protection.)
+    ncam, npts, mtl = (200, 5000, 8) if smoke else (1000, 50000, 20)
     spec = synthetic.SyntheticSceneSpec(
         num_cameras=ncam, num_points=npts, pixel_noise=0.5, seed=0,
         max_track_length=mtl)
@@ -82,21 +94,26 @@ def bench_ba_iterative(dtype, results, smoke=False):
         0, 0.02, arrays.points_xyz.shape).astype(np.float32))
     const = np.zeros(arrays.image_qvec.shape[0], bool)
     const[:2] = True
-    prob = ba.make_problem(arrays, const_image=const, dtype=dtype)
+    prob = ba.make_problem(arrays, const_image=const, dtype=dtype,
+                           max_track_len=mtl)
     nobs = int(np.asarray(prob.obs_mask).sum())
     iters = 5
     opts = ba.BAOptions(max_iterations=iters, solver="iterative",
-                        pinhole_only=True)
+                        pinhole_only=True, ftol=0.0)
     solve = jax.jit(lambda p: ba.solve(p, opts))
     dt = _timeit(lambda: solve(prob)[0].points.sum())
+    # analytic flops per LM iter (dominant terms): residual+jacobian
+    # ~500/obs; per-CG-iter matvec ~(2*18*2 + 18)/obs x ~30 CG iters
+    gflops_iter = nobs * (500 + 30 * 90) / 1e9
+    g, mfu = _mfu(gflops_iter * iters, dt)
     results.append({
         "metric": f"ba_iterative_lm_iters_per_s_{ncam}cam_{nobs//1000}kobs",
         "value": round(iters / dt, 3), "unit": "iters/s",
+        "achieved_gflops": g, "mfu_pct": mfu, "flops_analytic": True,
         "vs_baseline": round(iters / dt / 2.0, 3)})
 
 
 def bench_sift(results, smoke=False):
-    import jax
     import jax.numpy as jnp
     import scipy.ndimage as ndi
     from dagsfm_tpu.features import sift
@@ -108,7 +125,8 @@ def bench_sift(results, smoke=False):
     opts = sift.SiftOptions(max_num_features=2048,
                             candidates_per_octave=1024)
     batch = jnp.asarray(imgs)
-    dt = _timeit(lambda: (lambda f: f.xy.sum() + f.descriptor.sum())(sift.extract(batch, opts)))
+    dt = _timeit(lambda: (lambda f: f.xy.sum() + f.descriptor.sum())(
+        sift.extract(batch, opts)))
     results.append({
         "metric": f"sift_images_per_s_{W}x{H}_fo-1",
         "value": round(B / dt, 3), "unit": "images/s",
@@ -123,7 +141,7 @@ def bench_matcher(results, smoke=False):
     K = 1024
     B = 16 if smoke else 256
     rng = np.random.default_rng(0)
-    d = rng.normal(size=(B, 2, K, 128)).astype(np.float32)
+    d = np.abs(rng.normal(size=(B, 2, K, 128))).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     m = np.ones((B, K), bool)
     opts = fm.MatchingOptions()
@@ -132,51 +150,137 @@ def bench_matcher(results, smoke=False):
     d1 = jnp.asarray(d[:, 0])
     d2 = jnp.asarray(d[:, 1])
     mj = jnp.asarray(m)
+    gflops_call = B * 2 * K * K * 128 / 1e9
     dt = _timeit(lambda: run(d1, d2, mj, mj)[0].sum())
+    g, mfu = _mfu(gflops_call, dt)
     results.append({
         "metric": f"match_pairs_per_s_{K}x{K}desc",
         "value": round(B / dt, 3), "unit": "pairs/s",
+        "achieved_gflops": g, "mfu_pct": mfu, "flops_analytic": True,
         "vs_baseline": round(B / dt / 100.0, 3)})
 
 
 def bench_matcher_pallas(results, smoke=False):
-    """Fused Pallas streaming top-2 matcher (TPU only; skipped on CPU)."""
+    """Batched fused Pallas matcher (TPU only; VMEM-resident scores,
+    forward top-2 + reverse cross-check in one pass)."""
     import jax
     import jax.numpy as jnp
     if jax.default_backend() == "cpu":
         return
-    from dagsfm_tpu.ops.pallas_matcher import pallas_match
+    from dagsfm_tpu.ops.pallas_matcher import pallas_match_pair_batch
 
     K = 1024
-    B = 8 if smoke else 64
+    B = 16 if smoke else 256
     rng = np.random.default_rng(0)
-    d = rng.normal(size=(B, 2, K, 128)).astype(np.float32)
+    d = np.abs(rng.normal(size=(B, 2, K, 128))).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    m1 = jnp.ones((K,), bool)
+    d1 = jnp.asarray(d[:, 0])
+    d2 = jnp.asarray(d[:, 1])
+    mj = jnp.asarray(np.ones((B, K), bool))
+    gflops_call = B * 2 * K * K * 128 / 1e9
+    dt = _timeit(lambda: pallas_match_pair_batch(d1, d2, mj, mj)[1].sum())
+    g, mfu = _mfu(gflops_call, dt)
+    # device-side rate: amortize the fixed tunnel round-trip by chaining
+    # 8 calls before one scalar fetch
+    chain = 8
 
-    def run_all():
+    def chained():
         acc = 0.0
-        for b in range(B):
-            mm, _ = pallas_match(jnp.asarray(d[b, 0]), jnp.asarray(d[b, 1]),
-                                 m1, m1)
-            acc = acc + mm.sum()
+        for _ in range(chain):
+            acc = acc + pallas_match_pair_batch(d1, d2, mj, mj)[1].sum()
         return acc
-
-    dt = _timeit(run_all, reps=2)
+    dt_chain = _timeit(chained) / chain
     results.append({
         "metric": f"pallas_match_pairs_per_s_{K}x{K}desc",
         "value": round(B / dt, 3), "unit": "pairs/s",
+        "value_chained": round(B / dt_chain, 3),
+        "achieved_gflops": g, "mfu_pct": mfu, "flops_analytic": True,
         "vs_baseline": round(B / dt / 100.0, 3)})
+
+
+def bench_two_view(results, smoke=False):
+    """Batched two-view geometric verification (SURVEY hot loop #3):
+    full E/F/H model selection and the essential_only fast path."""
+    from dagsfm_tpu.ops import two_view_classify as tvc
+    from dagsfm_tpu.scene import synthetic
+
+    n_pairs = 8 if smoke else 64
+    npts = 256
+    rng = np.random.default_rng(3)
+    K = np.array([[800.0, 0, 320], [0, 800.0, 240], [0, 0, 1]])
+    pair_data = []
+    for k in range(n_pairs):
+        # synthetic two-view scene: random relative pose + 3D points
+        X = rng.uniform([-2, -2, 4], [2, 2, 8], (npts, 3))
+        aa = rng.normal(0, 0.1, 3)
+        th = np.linalg.norm(aa)
+        ax = aa / max(th, 1e-9)
+        ct, st = np.cos(th), np.sin(th)
+        R = (ct * np.eye(3) + st * np.cross(np.eye(3), ax)
+             + (1 - ct) * np.outer(ax, ax))
+        t = rng.normal(0, 0.3, 3)
+        x1 = X @ K.T
+        x1 = x1[:, :2] / x1[:, 2:]
+        x2 = (X @ R.T + t) @ K.T
+        x2 = x2[:, :2] / x2[:, 2:]
+        x1 += rng.normal(0, 0.5, x1.shape)
+        x2 += rng.normal(0, 0.5, x2.shape)
+        pair_data.append(((k, k + 1000), x1, x2, K, K,
+                          (640, 480), (640, 480), True))
+
+    for tag, opts in (("full", tvc.TwoViewOptions()),
+                      ("essential_only",
+                       tvc.TwoViewOptions(essential_only=True))):
+        t0 = time.perf_counter()
+        out = tvc.classify_pairs(pair_data, opts, seed=0)
+        dt = time.perf_counter() - t0
+        n_ok = sum(1 for r in out.values() if r.num_inliers > 0)
+        t0 = time.perf_counter()
+        out = tvc.classify_pairs(pair_data, opts, seed=1)
+        dt_warm = time.perf_counter() - t0
+        results.append({
+            "metric": f"two_view_verify_pairs_per_s_{tag}",
+            "value": round(n_pairs / dt_warm, 3), "unit": "pairs/s",
+            "pairs_classified": n_ok, "includes_jit_compile": False,
+            "vs_baseline": round(n_pairs / dt_warm / 100.0, 3)})
+
+
+def bench_retrieval(results, smoke=False):
+    """Vocab-tree retrieval queries/s (SURVEY hot loop #5)."""
+    from dagsfm_tpu.features import visual_index as vi
+
+    n_imgs = 20 if smoke else 100
+    n_desc = 512
+    rng = np.random.default_rng(0)
+    train = np.abs(rng.normal(size=(5000, 128))).astype(np.float32)
+    train /= np.linalg.norm(train, axis=1, keepdims=True)
+    tree = vi.build_vocab_tree(
+        train, vi.VocabTreeOptions(branching=8, depth=3), seed=0)
+    index = vi.VisualIndex(tree)
+    for i in range(n_imgs):
+        d = np.abs(rng.normal(size=(n_desc, 128))).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        index.add(i, d)
+    # warm one query (jit quantize etc. already paid in add)
+    index.query(0, num_images=20)
+    t0 = time.perf_counter()
+    for i in range(n_imgs):
+        index.query(i, num_images=20)
+    dt = (time.perf_counter() - t0) / n_imgs
+    results.append({
+        "metric": f"vocab_retrieval_queries_per_s_{n_imgs}img",
+        "value": round(1.0 / dt, 3), "unit": "queries/s",
+        "vs_baseline": round(1.0 / dt / 20.0, 3)})
 
 
 def bench_mapper(results, smoke=False, modes=("batch", "strict")):
     """Incremental mapping throughput from verified matches (host loop +
     device kernels; the reference's per-cluster COLMAP mapper regime).
 
-    Both registration modes are measured: 'strict' = the reference's
-    rank-one-register-one loop, 'batch' = top-5-per-ranking-round
-    scaling trade — so the trade's cost in registration rate AND its
-    speedup are on the record (round-2 ask)."""
+    batch mode runs TWICE: the first pass pays every jit compile (cold),
+    the second reports the warm-cache rate. strict (the reference's
+    rank-one-register-one loop) then reuses the warm cache. All three
+    rates are recorded (round-3 ask: warm numbers for both modes)."""
     import time as _time
     from dagsfm_tpu.scene import synthetic
     from dagsfm_tpu.sfm.incremental_mapper import (IncrementalMapper,
@@ -187,8 +291,9 @@ def bench_mapper(results, smoke=False, modes=("batch", "strict")):
         num_cameras=n, num_points=40 * n, pixel_noise=0.3, seed=2,
         max_track_length=12)
     sc = synthetic.generate(spec)
-    first = True
-    for mode in modes:
+    runs = [("batch", "", True), ("batch", "_warm", False),
+            ("strict", "", False)]
+    for mode, suffix, cold in runs:
         cams, images, graph = synthetic.to_matching_problem(sc)
         mapper = IncrementalMapper(
             cams, images, graph,
@@ -197,39 +302,46 @@ def bench_mapper(results, smoke=False, modes=("batch", "strict")):
         rec = mapper.reconstruct()
         dt = _time.time() - t0
         reg = rec.num_reg_images()
-        # vs_baseline: COLMAP mapper ~0.5 img/s on comparable synthetic
-        # density (multicore CPU, Ceres BA dominating)
         results.append({
-            "metric": f"mapper_images_per_s_{n}img_{mode}",
+            "metric": f"mapper_images_per_s_{n}img_{mode}{suffix}",
             "value": round(reg / dt, 3), "unit": "images/s",
             "registered": reg,
-            # the first mode benched pays every jit compile; later modes
-            # reuse the cache (cross-mode rates are not directly
-            # comparable without this flag)
-            "includes_jit_compile": first,
+            "includes_jit_compile": cold,
             "vs_baseline": round(reg / dt / 0.5, 3)})
-        first = False
 
 
 BASELINE_NOTE = (
     "vs_baseline denominators are ESTIMATES, not measurements: the "
     "reference repo publishes no benchmark numbers (BASELINE.md). "
     "Assumed: Ceres DENSE_SCHUR ~20 LM it/s @100cam; ITERATIVE_SCHUR "
-    "~2 it/s @1000cam; SiftGPU ~10 img/s; SiftGPU matcher ~100 pairs/s; "
-    "COLMAP mapper ~0.5 img/s.")
+    "~2 it/s @1000cam/1M obs; SiftGPU ~10 img/s; SiftGPU matcher ~100 "
+    "pairs/s; COLMAP mapper ~0.5 img/s; COLMAP geometric verification "
+    "~100 pairs/s; COLMAP vocab-tree query ~20 q/s. mfu_pct is vs the "
+    "v5e bf16 MXU peak estimate (197 TFLOP/s) with analytic FLOP "
+    "counts.")
 
 
 def run_suite(smoke=False, only=None, out_path="BENCH_SUITE.json",
               echo=True):
     """Run all benchmark axes; returns the results list.
 
-    Each metric is flushed to `out_path` as it completes (a mid-run
-    device crash keeps the completed entries), and failures of one axis
-    do not kill the rest.
+    Robustness (round-3 ask): each axis retries ONCE on failure; if it
+    still fails, the previous committed value for its metrics is kept
+    with "stale": true instead of the axis silently vanishing. Each
+    metric is flushed to out_path as it completes.
     """
     import jax
     import jax.numpy as jnp
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    previous = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                for r in json.load(f).get("results", []):
+                    previous[r.get("metric")] = r
+        except (json.JSONDecodeError, OSError):
+            pass
 
     results = []
     errors = []
@@ -246,24 +358,40 @@ def run_suite(smoke=False, only=None, out_path="BENCH_SUITE.json",
             import sys
             print(json.dumps(results[-1]), file=sys.stderr, flush=True)
 
-    # ba_iter LAST: a TPU-worker crash there (see bench_ba_iterative
-    # size note) leaves the process without a device — nothing may be
-    # scheduled after it
     axes = [
-        ("sift", lambda: bench_sift(results, smoke)),
-        ("match", lambda: bench_matcher(results, smoke)),
-        ("match_pallas", lambda: bench_matcher_pallas(results, smoke)),
-        ("ba", lambda: bench_ba_dense(dtype, results)),
-        ("map", lambda: bench_mapper(results, smoke)),
-        ("ba_iter", lambda: bench_ba_iterative(dtype, results, smoke)),
+        ("sift", lambda: bench_sift(results, smoke), ["sift_"]),
+        ("match", lambda: bench_matcher(results, smoke), ["match_"]),
+        ("match_pallas", lambda: bench_matcher_pallas(results, smoke),
+         ["pallas_match_"]),
+        ("two_view", lambda: bench_two_view(results, smoke),
+         ["two_view_"]),
+        ("retrieval", lambda: bench_retrieval(results, smoke),
+         ["vocab_retrieval_"]),
+        ("ba", lambda: bench_ba_dense(dtype, results), ["ba_lm_"]),
+        ("ba_iter", lambda: bench_ba_iterative(dtype, results, smoke),
+         ["ba_iterative_"]),
+        ("map", lambda: bench_mapper(results, smoke), ["mapper_"]),
     ]
-    for name, fn in axes:
+    for name, fn, prefixes in axes:
         if only is not None and name not in only:
             continue
-        try:
-            fn()
-        except Exception as e:  # noqa: BLE001 — record, keep benching
-            errors.append({"axis": name, "error": repr(e)})
+        before = len(results)
+        for attempt in (0, 1):
+            try:
+                fn()
+                break
+            except Exception as e:  # noqa: BLE001 — record, keep benching
+                del results[before:]  # drop partial axis output
+                errors.append({"axis": name, "attempt": attempt,
+                               "error": repr(e)})
+                if attempt == 1:
+                    # keep the last committed value rather than losing
+                    # the axis to a tunnel flake
+                    for metric, r in previous.items():
+                        if any(metric.startswith(p) for p in prefixes):
+                            stale = dict(r)
+                            stale["stale"] = True
+                            results.append(stale)
         _flush()
     return results
 
@@ -273,7 +401,8 @@ def main():
     ap.add_argument("--smoke", action="store_true",
                     help="small sizes for CPU sanity runs")
     ap.add_argument("--only", default="",
-                    help="comma list: ba,ba_iter,sift,match,match_pallas,map")
+                    help="comma list: ba,ba_iter,sift,match,match_pallas,"
+                         "two_view,retrieval,map")
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
     results = run_suite(smoke=args.smoke, only=only)

@@ -75,26 +75,19 @@ def match_pairs(descriptors: dict, masks: dict, pairs: list,
     descriptors: image_id -> (K, 128) np float (normalized); masks:
     image_id -> (K,) bool. Returns pair -> (M, 2) uint32 match arrays.
 
-    use_pallas: route through the fused Pallas top-2 kernel
-    (ops/pallas_matcher). Default OFF: the kernel is single-pair, so a
-    pair list pays one dispatch per pair (~150x slower end-to-end than
-    the batched XLA matmul path through a remote-TPU tunnel, measured
-    13 vs 2100 pairs/s). Opt in only for single-pair/low-latency use.
+    use_pallas: route through the BATCHED fused Pallas kernel
+    (ops/pallas_matcher.pallas_match_pair_batch: the (K, K) score matrix
+    stays in VMEM; forward top-2 and the reverse cross-check argmax come
+    out of one pass). Default: ON for TPU backends when K is a multiple
+    of 128 (measured ~10x the XLA matmul+top_k path device-side, 8.6 ms
+    vs 85 ms per 256-pair batch at K=1024), OFF on CPU where Pallas runs
+    through the interpreter. The round-3 single-pair kernel that paid
+    one dispatch per pair is superseded.
     """
+    K = next(iter(descriptors.values())).shape[0] if descriptors else 0
     if use_pallas is None:
-        use_pallas = False
-    if use_pallas:
-        from dagsfm_tpu.ops.pallas_matcher import pallas_match
-        out = {}
-        for (i, j) in pairs:
-            m, _ = pallas_match(
-                jnp.asarray(descriptors[i]), jnp.asarray(descriptors[j]),
-                jnp.asarray(masks[i]), jnp.asarray(masks[j]),
-                max_ratio=opts.max_ratio, max_distance=opts.max_distance)
-            m = np.asarray(m)
-            m = m[m[:, 0] >= 0][: opts.max_num_matches]
-            out[(i, j)] = m.astype(np.uint32)
-        return out
+        use_pallas = (jax.default_backend() not in ("cpu",)
+                      and K % 128 == 0 and K >= 128)
     out = {}
     for s in range(0, len(pairs), batch_size):
         chunk = pairs[s: s + batch_size]
@@ -105,7 +98,14 @@ def match_pairs(descriptors: dict, masks: dict, pairs: list,
         d2 = jnp.asarray(np.stack([descriptors[j] for (_, j) in chunk]))
         m1 = jnp.asarray(np.stack([masks[i] for (i, _) in chunk]))
         m2 = jnp.asarray(np.stack([masks[j] for (_, j) in chunk]))
-        matches, counts = match_pair_batch(d1, d2, m1, m2, opts)
+        if use_pallas:
+            from dagsfm_tpu.ops.pallas_matcher import pallas_match_pair_batch
+            matches, counts = pallas_match_pair_batch(
+                d1, d2, m1, m2, max_ratio=opts.max_ratio,
+                max_distance=opts.max_distance,
+                cross_check=opts.cross_check)
+        else:
+            matches, counts = match_pair_batch(d1, d2, m1, m2, opts)
         matches = np.asarray(matches)
         for k in range(real):
             m = matches[k]

@@ -103,6 +103,138 @@ def pallas_top2(d1: jax.Array, d2: jax.Array, interpret: bool = False):
     return best.reshape(K1), second.reshape(K1), idx.reshape(K1)
 
 
+# ---------------------------------------------------------------------------
+# Batched kernel: grid over pairs, ONE pass per pair computing the forward
+# running top-2 AND the reverse argmax (cross-check) from the same MXU
+# tiles. The (K, K) similarity matrix never touches HBM — per pair the
+# traffic is 2*K*D descriptor reads + 4*K scalars out, vs the XLA path's
+# K*K score materialization (the round-3 single-pair kernel additionally
+# paid one dispatch per pair AND a second full pass for the reverse
+# direction; both are gone here).
+# ---------------------------------------------------------------------------
+
+def _pick_tile(K: int) -> int:
+    """Largest MXU-friendly j-tile dividing K (bigger tiles amortize the
+    per-tile loop overhead; measured 256->1024 halves device time)."""
+    for t in (1024, 512, 256, 128):
+        if K % t == 0:
+            return t
+    raise ValueError(f"K={K} must be a multiple of 128")
+
+
+def _batch_matcher_kernel(TILE_J, d1_ref, d2_ref, m1_ref, m2_ref,
+                          best_ref, second_ref, idx_ref, rev_ref):
+    """One grid step = one pair. d1/d2 (1, K, D) bf16 VMEM blocks;
+    m1/m2 (1, K, 1) float32 (trailing singleton satisfies the TPU
+    (sublane, lane) block tiling rule). Outputs (1, K, 1): forward
+    best/second/argbest and reverse argmax (best row per column)."""
+    K = d1_ref.shape[1]
+    nt = K // TILE_J
+    d1 = d1_ref[0]                                        # (K, D) bf16
+    m1 = m1_ref[0, :, 0]                                  # (K,) f32
+    neg = jnp.float32(-jnp.inf)
+
+    def body(t, carry):
+        best, second, bidx = carry
+        d2t = d2_ref[0, pl.ds(t * TILE_J, TILE_J), :]     # (TILE_J, D)
+        sim = jax.lax.dot_general(
+            d1, d2t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (K, TILE_J)
+        m2t = m2_ref[0, pl.ds(t * TILE_J, TILE_J), 0]     # (TILE_J,)
+        valid = (m1[:, None] > 0) & (m2t[None, :] > 0)
+        sim = jnp.where(valid, sim, neg)
+        tile_best = jnp.max(sim, axis=1)
+        targ = jnp.argmax(sim, axis=1).astype(jnp.int32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+        tile_second = jnp.max(
+            jnp.where(cols == targ[:, None], neg, sim), axis=1)
+        # reverse direction falls out of the same tile: best ROW per
+        # column j, written directly to this tile's output slice
+        rev_ref[0, pl.ds(t * TILE_J, TILE_J), 0] = \
+            jnp.argmax(sim, axis=0).astype(jnp.int32)
+        targ_glob = targ + t * TILE_J
+        new_best = jnp.maximum(best, tile_best)
+        new_idx = jnp.where(tile_best > best, targ_glob, bidx)
+        new_second = jnp.where(tile_best >= best,
+                               jnp.maximum(best, tile_second),
+                               jnp.maximum(tile_best, second))
+        return new_best, new_second, new_idx
+
+    init = (jnp.full((K,), neg, jnp.float32),
+            jnp.full((K,), neg, jnp.float32),
+            jnp.zeros((K,), jnp.int32))
+    best, second, bidx = jax.lax.fori_loop(0, nt, body, init)
+    best_ref[0, :, 0] = best
+    second_ref[0, :, 0] = second
+    idx_ref[0, :, 0] = bidx
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_top2_batch(d1, d2, m1, m2, interpret: bool = False):
+    """Batched fused top-2 + reverse-argmax.
+
+    d1, d2 (B, K, 128) float (cast to bf16 for the MXU; f32 accumulate);
+    m1, m2 (B, K) bool. K multiple of 256. Returns (best, second, idx,
+    rev_idx) each (B, K)."""
+    import functools as _ft
+    B, K, D = d1.shape
+    outs = pl.pallas_call(
+        _ft.partial(_batch_matcher_kernel, _pick_tile(K)),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, K, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, K, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, K, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, K, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, K, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, K, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(d1.astype(jnp.bfloat16), d2.astype(jnp.bfloat16),
+      m1.astype(jnp.float32)[..., None], m2.astype(jnp.float32)[..., None])
+    return tuple(o[..., 0] for o in outs)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_ratio", "max_distance",
+                                    "cross_check", "interpret"))
+def pallas_match_pair_batch(d1, d2, m1, m2, max_ratio: float = 0.8,
+                            max_distance: float = 0.7,
+                            cross_check: bool = True,
+                            interpret: bool = False):
+    """Drop-in batched matcher on the fused kernel — same contract as
+    features.matching.match_pair_batch: (matches (B, K, 2) int32 with -1
+    pads, num_matches (B,))."""
+    best, second, idx, rev_idx = pallas_top2_batch(
+        d1, d2, m1, m2, interpret=interpret)
+    d_best = jnp.sqrt(jnp.maximum(2.0 - 2.0 * best, 0.0))
+    d_second = jnp.sqrt(jnp.maximum(2.0 - 2.0 * second, 1e-12))
+    ok = (d_best < max_ratio * d_second) & (d_best < max_distance) & m1
+    K = d1.shape[1]
+    if cross_check:
+        mutual = jnp.take_along_axis(rev_idx, idx, axis=1) == \
+            jnp.arange(K)[None, :]
+        ok = ok & mutual
+    ok = ok & jnp.take_along_axis(m2, idx, axis=1)
+    k_idx = jnp.broadcast_to(jnp.arange(K)[None, :], idx.shape)
+    matches = jnp.stack([jnp.where(ok, k_idx, -1),
+                         jnp.where(ok, idx, -1)], axis=-1)
+    return matches.astype(jnp.int32), jnp.sum(ok, axis=1)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("max_ratio", "max_distance",
                                     "interpret"))

@@ -164,7 +164,7 @@ def classify_pairs(pair_data: list,
     CPU (XLA:CPU compile time scales badly with the pair batch dim).
     """
     if batch_size is None:
-        batch_size = 32 if jax.default_backend() != "cpu" else 1
+        batch_size = 64 if jax.default_backend() != "cpu" else 1
     key0 = jax.random.PRNGKey(seed)
 
     # precompute per-pair normalized coords + thresholds, group by bucket
@@ -351,8 +351,11 @@ def _select_model(pix1, pix2, x1, x2, K1, K2, image_size1, image_size2,
         E_out = np.asarray(E)
         if options.compute_relative_pose:
             R, t = np.asarray(R_E), np.asarray(t_E)
-        F_out = np.asarray(epi.fundamental_from_essential(
-            jnp.asarray(E), jnp.asarray(K1), jnp.asarray(K2)))
+        # F = K2^-T E K1^-1 — 3x3 host algebra. (An eager device call
+        # here cost one tunnel round trip PER PAIR on remote TPU,
+        # dominating the whole verification stage.)
+        F_out = np.linalg.inv(np.asarray(K2)).T @ np.asarray(E) @ \
+            np.linalg.inv(np.asarray(K1))
     elif config == UNCALIBRATED:
         F_out = np.asarray(F)
         if options.compute_relative_pose:
@@ -426,28 +429,32 @@ def pose_from_homography(Hn: np.ndarray, x1: np.ndarray, x2: np.ndarray):
             t = U @ tp
             cands.append((R, t))
             cands.append((R, -t))
-    # cheirality via two-view triangulation: count points with positive
-    # depth in BOTH views (same test as essential decomposition)
-    import jax.numpy as jnp
-    from dagsfm_tpu.ops import rotations as rops
-    from dagsfm_tpu.ops import triangulation as tri
+    # cheirality: count points with positive depth in BOTH views. Pure
+    # host numpy — per candidate, solve the 3x2 least squares
+    # z2*h2 = z1*R*h1 + t for (z1, z2) per point via normal equations.
+    # (The previous per-candidate eager device triangulation cost 16
+    # unbucketed dispatches per pair — on remote TPU it dominated the
+    # entire verification stage.)
+    h1 = np.concatenate([x1, np.ones((len(x1), 1))], axis=1)  # (n,3)
+    h2 = np.concatenate([x2, np.ones((len(x2), 1))], axis=1)
     best = None
     best_count = -1
     for (R, t) in cands:
         if len(x1) == 0:
             best = (R, t)
             break
-        n_pts = len(x1)
-        q1 = np.broadcast_to(np.array([1.0, 0, 0, 0]), (n_pts, 4))
-        t1 = np.zeros((n_pts, 3))
-        q2 = np.broadcast_to(
-            np.asarray(rops.rotmat_to_quat(jnp.asarray(R))), (n_pts, 4))
-        t2v = np.broadcast_to(t, (n_pts, 3))
-        X = np.asarray(tri.triangulate_two_view(
-            jnp.asarray(q1), jnp.asarray(t1), jnp.asarray(q2),
-            jnp.asarray(t2v), jnp.asarray(x1), jnp.asarray(x2)))
-        z1 = X[:, 2]
-        z2 = (X @ R.T + t)[:, 2]
+        a = h1 @ R.T                                   # (n,3) = R h1
+        b = -h2
+        # normal equations for [a_i, b_i] [z1, z2]^T = -t
+        aa = np.sum(a * a, axis=1)
+        ab = np.sum(a * b, axis=1)
+        bb = np.sum(b * b, axis=1)
+        at = a @ (-t)
+        bt = b @ (-t)
+        det = aa * bb - ab * ab
+        det = np.where(np.abs(det) < 1e-12, 1e-12, det)
+        z1 = (at * bb - ab * bt) / det
+        z2 = (aa * bt - ab * at) / det
         count = int(((z1 > 0) & (z2 > 0)).sum())
         if count > best_count:
             best_count = count

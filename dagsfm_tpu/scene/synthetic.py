@@ -189,7 +189,8 @@ def to_reconstruction(scene: SyntheticScene,
 
 def render_images(scene: SyntheticScene, sphere_radius: float | None = None,
                   num_waves: int = 96, feature_px: float = 6.0,
-                  background: float = 0.15, seed: int = 0) -> dict:
+                  background: float = 0.15, seed: int = 0,
+                  camera=None) -> dict:
     """Ray-traced grayscale images of a procedurally-textured sphere
     placed at the scene origin, viewed by the scene's cameras.
 
@@ -221,11 +222,30 @@ def render_images(scene: SyntheticScene, sphere_radius: float | None = None,
     phase = rng.uniform(0, 2 * np.pi, num_waves)
     amp = rng.uniform(0.5, 1.0, num_waves) / np.sqrt(num_waves)
 
-    xs = (np.arange(W) - cx) / fx
-    ys = (np.arange(H) - cy) / fx
-    dirs_cam = np.stack([np.broadcast_to(xs[None, :], (H, W)),
-                         np.broadcast_to(ys[:, None], (H, W)),
-                         np.ones((H, W))], -1)   # (H, W, 3)
+    if camera is not None:
+        # render through an arbitrary camera model (e.g. SIMPLE_RADIAL
+        # with k1 != 0): each pixel's ray direction is its UNDISTORTED
+        # normalized coordinate via the model's iterative inverse — the
+        # resulting image IS the distorted view of the scene (used by
+        # the distorted-camera end-to-end test)
+        import jax.numpy as jnp
+
+        from dagsfm_tpu.scene import cameras as cmod
+        uu, vv = np.meshgrid(np.arange(W, dtype=np.float64),
+                             np.arange(H, dtype=np.float64))
+        pix = np.stack([uu.ravel(), vv.ravel()], axis=-1)
+        params = np.zeros(cmod.MAX_CAMERA_PARAMS)
+        params[: len(camera.params)] = camera.params
+        xy = np.asarray(cmod.cam_from_img(
+            camera.model_id, jnp.asarray(params), jnp.asarray(pix)))
+        dirs_cam = np.concatenate(
+            [xy, np.ones((len(xy), 1))], axis=-1).reshape(H, W, 3)
+    else:
+        xs = (np.arange(W) - cx) / fx
+        ys = (np.arange(H) - cy) / fx
+        dirs_cam = np.stack([np.broadcast_to(xs[None, :], (H, W)),
+                             np.broadcast_to(ys[:, None], (H, W)),
+                             np.ones((H, W))], -1)   # (H, W, 3)
 
     images = {}
     C_all = scene.centers()

@@ -1,0 +1,90 @@
+"""Distorted-camera end-to-end loop (VERDICT r3 ask #6): render the ring
+scene through a SIMPLE_RADIAL camera with k1 != 0, run the FULL pipeline
+(SIFT -> matching -> verification -> incremental mapping with BA
+intrinsics refinement) starting from NO focal prior and k1 = 0, and
+assert pose accuracy plus recovery of both focal and k1.
+
+This proves the intrinsics-refinement machinery end-to-end, not just at
+BA-unit level: the reference's defaults for unknown cameras are
+SIMPLE_RADIAL + refine focal/extra (image_reader.h:64,
+incremental_mapper_controller.h:100-110)."""
+import numpy as np
+import pytest
+
+from dagsfm_tpu.scene import cameras as cm
+from dagsfm_tpu.scene import synthetic
+
+K1_TRUE = -0.12
+
+
+@pytest.mark.slow
+def test_distorted_pixels_to_model_recovers_k1():
+    from dagsfm_tpu.features import sift
+    from dagsfm_tpu.pipeline.feature_pipeline import (
+        FeaturePipeline, FeaturePipelineOptions)
+    from dagsfm_tpu.sfm.incremental_mapper import (IncrementalMapper,
+                                                   MapperOptions)
+
+    spec = synthetic.SyntheticSceneSpec(
+        num_cameras=12, num_points=50, image_width=448, image_height=336,
+        focal=480.0, seed=4, ring_radius=9.0, point_cloud_extent=3.5,
+        ring_height_jitter=0.3)
+    sc = synthetic.generate(spec)
+    # ground-truth camera: SIMPLE_RADIAL with real radial distortion
+    gt_cam = cm.Camera(1, cm.CAMERA_MODEL_IDS["SIMPLE_RADIAL"],
+                       spec.image_width, spec.image_height,
+                       (spec.focal, spec.image_width / 2.0,
+                        spec.image_height / 2.0, K1_TRUE),
+                       prior_focal=True)
+    images = synthetic.render_images(sc, camera=gt_cam)
+
+    # the pipeline starts BLIND: shared SIMPLE_RADIAL camera, heuristic
+    # focal (1.2 * max dim, ~20% high), k1 = 0, NO prior -> the mapper's
+    # focal grid + BA intrinsics refinement must recover both
+    blind = cm.make_simple_camera(1, spec.image_width, spec.image_height,
+                                  model="SIMPLE_RADIAL")
+    assert not blind.prior_focal
+    cams = {i: blind for i in images}
+
+    opts = FeaturePipelineOptions(batch_size=4, guided_matching=True)
+    opts.sift = sift.SiftOptions(max_num_features=1024,
+                                 candidates_per_octave=512, num_octaves=3)
+    fp = FeaturePipeline(images, cams, opts)
+    fp.extract_features()
+    assert all(int(fp.masks[i].sum()) > 400 for i in images)
+    fp.match_and_verify()
+    assert len(fp.two_view) >= 10
+
+    cams2, imgs2, graph = fp.to_mapper_inputs()
+    mapper = IncrementalMapper(cams2, imgs2, graph, MapperOptions(seed=0))
+    rec = mapper.reconstruct()
+    err = synthetic.pose_errors(rec, sc)
+    assert err["num_reg"] >= 10, err
+    assert err["ate"] < 0.15, err
+    assert err["rot_err_deg_mean"] < 1.5, err
+
+    final = rec.cameras[1]
+    assert final.model_name == "SIMPLE_RADIAL"
+    focal_rel = abs(final.focal() - spec.focal) / spec.focal
+    k1 = final.params[3]
+    assert focal_rel < 0.10, (final.params, spec.focal)
+    # k1 recovered within 20% of truth (VERDICT r3 ask #6 criterion)
+    assert abs(k1 - K1_TRUE) < 0.2 * abs(K1_TRUE), (k1, K1_TRUE)
+
+
+def test_render_through_distorted_camera_differs():
+    """Rendering through k1 != 0 visibly warps the image vs pinhole-like
+    k1 = 0 (fast sanity for the camera= render path)."""
+    spec = synthetic.SyntheticSceneSpec(
+        num_cameras=2, num_points=10, image_width=96, image_height=96,
+        focal=120.0, seed=1)
+    sc = synthetic.generate(spec)
+    cam0 = cm.Camera(1, cm.CAMERA_MODEL_IDS["SIMPLE_RADIAL"],
+                     96, 96, (120.0, 48.0, 48.0, 0.0))
+    cam1 = cam0._replace(params=(120.0, 48.0, 48.0, -0.3))
+    im0 = synthetic.render_images(sc, camera=cam0)[1]
+    im1 = synthetic.render_images(sc, camera=cam1)[1]
+    imp = synthetic.render_images(sc)[1]
+    # k1=0 matches the plain pinhole render; k1=-0.3 does not
+    assert np.abs(im0 - imp).max() < 1e-6
+    assert np.abs(im1 - imp).mean() > 0.01

@@ -73,3 +73,58 @@ class TestPallasMatch:
         mp = np.asarray(matches_p)
         mp = mp[mp[:, 0] >= 0]
         assert not np.any(mp[:, 1] < 80)
+
+
+class TestPallasBatchKernel:
+    """Batched fused kernel (round-4): one pass computes forward top-2
+    AND the reverse cross-check argmax; must match the XLA matcher."""
+
+    def _batch(self, B=3, k=256, seed=0):
+        ds = [toy_descs(seed + b, k1=k, k2=k) for b in range(B)]
+        d1 = np.stack([a for a, _ in ds])
+        d2 = np.stack([b for _, b in ds])
+        m1 = np.ones((B, k), bool)
+        m1[:, k - 17:] = False          # ragged valid counts
+        m2 = np.ones((B, k), bool)
+        m2[:, k - 5:] = False
+        return (jnp.asarray(d1), jnp.asarray(d2),
+                jnp.asarray(m1), jnp.asarray(m2))
+
+    def test_matches_xla_matcher_exactly(self):
+        d1, d2, m1, m2 = self._batch()
+        opts = fm.MatchingOptions()
+        mp, cp = pm.pallas_match_pair_batch(
+            d1, d2, m1, m2, max_ratio=opts.max_ratio,
+            max_distance=opts.max_distance, interpret=True)
+        mx, cx = fm.match_pair_batch(d1, d2, m1, m2, opts)
+        np.testing.assert_array_equal(np.asarray(cp), np.asarray(cx))
+        np.testing.assert_array_equal(np.asarray(mp), np.asarray(mx))
+        assert int(np.asarray(cp).sum()) > 0  # non-trivial parity
+
+    def test_no_cross_check(self):
+        d1, d2, m1, m2 = self._batch(B=2)
+        opts = fm.MatchingOptions(cross_check=False)
+        mp, cp = pm.pallas_match_pair_batch(
+            d1, d2, m1, m2, max_ratio=opts.max_ratio,
+            max_distance=opts.max_distance, cross_check=False,
+            interpret=True)
+        mx, cx = fm.match_pair_batch(d1, d2, m1, m2, opts)
+        np.testing.assert_array_equal(np.asarray(mp), np.asarray(mx))
+
+    def test_masked_rows_never_match(self):
+        d1, d2, m1, m2 = self._batch(B=2)
+        mp, cp = pm.pallas_match_pair_batch(d1, d2, m1, m2, interpret=True)
+        mp = np.asarray(mp)
+        m1n, m2n = np.asarray(m1), np.asarray(m2)
+        for b in range(mp.shape[0]):
+            rows = mp[b][mp[b, :, 0] >= 0]
+            assert m1n[b, rows[:, 0]].all()
+            assert m2n[b, rows[:, 1]].all()
+
+    def test_tile_selection(self):
+        from dagsfm_tpu.ops.pallas_matcher import _pick_tile
+        assert _pick_tile(1024) == 1024
+        assert _pick_tile(512) == 512
+        assert _pick_tile(384) == 128
+        with pytest.raises(ValueError):
+            _pick_tile(100)
