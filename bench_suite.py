@@ -374,6 +374,12 @@ def run_suite(smoke=False, only=None, out_path="BENCH_SUITE.json",
     ]
     for name, fn, prefixes in axes:
         if only is not None and name not in only:
+            # axis not re-run: carry the previous committed entries
+            # forward unchanged so a partial --only run never erases
+            # other axes from BENCH_SUITE.json
+            for metric, r in previous.items():
+                if any(metric.startswith(p) for p in prefixes):
+                    results.append(dict(r))
             continue
         before = len(results)
         for attempt in (0, 1):

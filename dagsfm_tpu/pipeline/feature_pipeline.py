@@ -60,6 +60,7 @@ class FeaturePipelineOptions:
     retrieval: rt.RetrievalOptions = dataclasses.field(
         default_factory=rt.RetrievalOptions)
     pair_mode: str = "exhaustive"   # exhaustive | sequential | retrieval
+    #                               # | vocab_tree | global
                                     # | vocab_tree
     # sequential mode extras (ref SequentialMatchingOptions,
     # matching.h:427-448): temporal window + vocab loop closure every
@@ -169,6 +170,20 @@ class FeaturePipeline:
                 seed=self.opts.seed)]
         if self.opts.pair_mode == "vocab_tree":
             return self._vocab_tree_pairs(ids)
+        if self.opts.pair_mode == "global":
+            # global-descriptor kNN pairing (ref MirrorSimilarityGraph,
+            # similarity_graph.h:91-120 — the CNN embedding's role is
+            # filled by VLAD over the already-extracted SIFT descriptors
+            # when available, else the GIST-style Gabor bank on raw
+            # images; features/global_descriptor.py)
+            from dagsfm_tpu.features import global_descriptor as gd
+            if self.descriptors:
+                descs = gd.vlad_descriptors(self.descriptors, self.masks,
+                                            seed=self.opts.seed)
+            else:
+                descs = gd.global_descriptors(self.images)
+            return [(i, j) for (i, j, _) in gd.global_similarity_pairs(
+                descs, num_neighbors=self.opts.retrieval.num_neighbors)]
         raise ValueError(self.opts.pair_mode)
 
     def _vocab_tree_pairs(self, ids: list) -> list:

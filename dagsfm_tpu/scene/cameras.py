@@ -161,11 +161,18 @@ def _num_params_traced(model_id):
 
 def intrinsics_refine_mask(model_ids, refine_focal: bool,
                            refine_principal: bool, refine_extra: bool,
-                           eligible=None):
+                           eligible=None, eligible_extra=None):
     """(C, 8) float mask of refinable intrinsic slots (host-side).
 
-    eligible: optional (C,) bool — cameras allowed to refine at all
-    (e.g. ~prior_focal per ref incremental_mapper_controller.h:100-110).
+    eligible: optional (C,) bool — cameras whose FOCAL (and principal
+    point) may refine (~prior_focal: a calibrated/EXIF focal is trusted,
+    ref incremental_mapper_controller.h:100-110 + prior_focal_length
+    semantics).
+    eligible_extra: optional (C,) bool — cameras whose DISTORTION slots
+    may refine; defaults to `eligible`. The reference's
+    ba_refine_extra_params=true refines zero-initialized distortion even
+    for prior-focal cameras (an EXIF focal says nothing about k1), so
+    the mapper passes all-true here.
     """
     import numpy as np
     mids = np.asarray(model_ids)
@@ -179,11 +186,15 @@ def intrinsics_refine_mask(model_ids, refine_focal: bool,
         mask[:, 1] = (~single).astype(np.float64)
     if refine_principal:
         mask[:, 2:4] = 1.0
-    if refine_extra:
-        for k in range(4):
-            mask[:, 4 + k] = (n_extra > k).astype(np.float64)
     if eligible is not None:
         mask *= np.asarray(eligible, bool)[:, None].astype(np.float64)
+    if refine_extra:
+        if eligible_extra is None:
+            eligible_extra = eligible
+        ex = (np.ones(C, bool) if eligible_extra is None
+              else np.asarray(eligible_extra, bool))
+        for k in range(4):
+            mask[:, 4 + k] = (n_extra > k) * ex
     return mask
 
 

@@ -1124,10 +1124,12 @@ def solve(prob: BAProblem, opts: BAOptions = BAOptions(),
     opts.max_iterations — callers that solve the same problem shapes
     with different budgets (local vs global BA in the incremental
     mapper) share one compiled executable instead of one per budget.
-    The loop is a lax.while_loop, so converged solves stop paying for
-    the remaining budget (an accepted step improving relative cost by
-    < opts.ftol terminates; the reference's Ceres LM has the same
-    function_tolerance exit).
+    With a dynamic bound or ftol > 0 the loop is a lax.while_loop
+    (converged solves stop paying for the remaining budget; the
+    reference's Ceres LM has the same function_tolerance exit). With a
+    static bound and ftol <= 0 it stays a lax.scan — XLA schedules the
+    statically-counted loop noticeably better (~1.7x on the dense
+    100-camera benchmark), so fixed-iteration callers keep that rate.
     """
     refine = _refine_any(opts)
     pinhole_only = opts.pinhole_only and not refine
@@ -1174,12 +1176,17 @@ def solve(prob: BAProblem, opts: BAOptions = BAOptions(),
     lam0 = jnp.asarray(opts.init_lambda, prob.obs_xy.dtype)
     state0 = (prob.image_qvec, prob.image_tvec, prob.points,
               prob.cam_params)
-    bound = jnp.asarray(opts.max_iterations if max_iters is None
-                        else max_iters, jnp.int32)
-    state, lam, cost, iters, _, _ = jax.lax.while_loop(
-        lambda c: (c[3] < bound) & ~c[4],
-        lm_iter, (state0, lam0, init_cost, jnp.asarray(0, jnp.int32),
-                  jnp.asarray(False), jnp.asarray(0, jnp.int32)))
+    carry0 = (state0, lam0, init_cost, jnp.asarray(0, jnp.int32),
+              jnp.asarray(False), jnp.asarray(0, jnp.int32))
+    if max_iters is None and opts.ftol <= 0:
+        (state, lam, cost, iters, _, _), _ = jax.lax.scan(
+            lambda c, _: (lm_iter(c), None), carry0, None,
+            length=opts.max_iterations)
+    else:
+        bound = jnp.asarray(opts.max_iterations if max_iters is None
+                            else max_iters, jnp.int32)
+        state, lam, cost, iters, _, _ = jax.lax.while_loop(
+            lambda c: (c[3] < bound) & ~c[4], lm_iter, carry0)
     prob = prob._replace(image_qvec=state[0], image_tvec=state[1],
                          points=state[2], cam_params=state[3])
     stats = BAStats(init_cost, cost, iters, lam)

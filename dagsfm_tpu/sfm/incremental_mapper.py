@@ -675,23 +675,28 @@ class IncrementalMapper:
             const[k] = i in const_images
         if const[: len(img_ids)].sum() == 0 and len(img_ids) >= 2:
             const[:1] = True
-        # intrinsics refinement for cameras without a focal prior (ref
-        # optim/bundle_adjustment.cc:338 camera params as variable
-        # blocks; gated per-camera by prior_focal)
-        # padded camera rows (arrays.cam_model_id is bucket-padded past
-        # len(cam_ids)) are never eligible
-        eligible = np.zeros(arrays.cam_model_id.shape[0], bool)
-        eligible[: len(cam_ids)] = [not self.rec.cameras[c].prior_focal
-                                    for c in cam_ids]
-        refine_on = bool(eligible.any()) and (
-            self.opts.ba_refine_focal or self.opts.ba_refine_principal
-            or self.opts.ba_refine_extra)
-        cam_refine = None
-        if refine_on:
-            cam_refine = cm.intrinsics_refine_mask(
-                arrays.cam_model_id, self.opts.ba_refine_focal,
-                self.opts.ba_refine_principal, self.opts.ba_refine_extra,
-                eligible=eligible)
+        # intrinsics refinement (ref optim/bundle_adjustment.cc:338
+        # camera params as variable blocks): FOCAL refines only for
+        # cameras without a prior (the EXIF/user calibration is
+        # trusted), but zero-initialized DISTORTION refines for every
+        # camera whose model has distortion slots — an EXIF focal says
+        # nothing about k1 (ref ba_refine_extra_params=true default,
+        # incremental_mapper_controller.h:100-110). Padded camera rows
+        # (arrays.cam_model_id is bucket-padded past len(cam_ids)) are
+        # never eligible for anything.
+        C_pad = arrays.cam_model_id.shape[0]
+        elig_focal = np.zeros(C_pad, bool)
+        elig_focal[: len(cam_ids)] = [not self.rec.cameras[c].prior_focal
+                                      for c in cam_ids]
+        elig_extra = np.zeros(C_pad, bool)
+        elig_extra[: len(cam_ids)] = True
+        cam_refine = cm.intrinsics_refine_mask(
+            arrays.cam_model_id, self.opts.ba_refine_focal,
+            self.opts.ba_refine_principal, self.opts.ba_refine_extra,
+            eligible=elig_focal, eligible_extra=elig_extra)
+        refine_on = bool(cam_refine.any())
+        if not refine_on:
+            cam_refine = None
         prob = ba.make_problem(arrays, max_track_len=self.opts.max_track_len,
                                const_image=const, cam_refine=cam_refine)
         # max_iterations rides as a TRACED argument so local BA (15) and

@@ -1,0 +1,111 @@
+"""Global-descriptor similarity graph (MirrorSimilarityGraph role,
+ref similarity_graph.h:91-120): the GIST-style embedding must place
+views of the same scene region closer than unrelated images, and the
+kNN pair selection must surface the true ring neighbors."""
+import numpy as np
+import pytest
+
+from dagsfm_tpu.features import global_descriptor as gd
+from dagsfm_tpu.scene import synthetic
+
+
+@pytest.fixture(scope="module")
+def ring_images():
+    spec = synthetic.SyntheticSceneSpec(
+        num_cameras=8, num_points=20, image_width=160, image_height=120,
+        focal=180.0, seed=3, ring_radius=9.0, point_cloud_extent=3.5)
+    sc = synthetic.generate(spec)
+    return synthetic.render_images(sc)
+
+
+def test_descriptor_shape_and_norm(ring_images):
+    descs = gd.global_descriptors(ring_images)
+    assert set(descs) == set(ring_images)
+    for v in descs.values():
+        assert v.shape == (gd.DESC_DIM,)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+
+def _texture_crops(n_rows=3, crop=128, step=40, seed=0):
+    """Sliding crops of one big smooth texture: consecutive crops
+    overlap heavily (same 'place'), distant crops are unrelated — the
+    retrieval scenario the reference's CNN similarity graph serves."""
+    from scipy import ndimage
+    rng = np.random.default_rng(seed)
+    big = ndimage.gaussian_filter(
+        rng.random((crop + 40, crop + n_rows * 3 * step)).astype(
+            np.float32), 3.0)
+    big = (big - big.min()) / max(np.ptp(big), 1e-9)
+    out = {}
+    for k in range(n_rows * 3):
+        out[k + 1] = big[:crop, k * step: k * step + crop]
+    return out
+
+
+@pytest.fixture(scope="module")
+def crop_vlad():
+    """SIFT -> VLAD embeddings for sliding texture crops (the pipeline's
+    actual `global` pair-mode path)."""
+    from dagsfm_tpu.features import sift
+    crops = _texture_crops()
+    ids = sorted(crops)
+    batch = np.stack([crops[i] for i in ids])
+    import jax.numpy as jnp
+    feats = sift.extract(jnp.asarray(batch),
+                         sift.SiftOptions(max_num_features=512,
+                                          candidates_per_octave=256))
+    descs = {i: np.asarray(feats.descriptor[k]) for k, i in enumerate(ids)}
+    masks = {i: np.asarray(feats.mask[k]) for k, i in enumerate(ids)}
+    return gd.vlad_descriptors(descs, masks, k=8, seed=0)
+
+
+def test_overlapping_crops_score_higher(crop_vlad):
+    """Consecutive (heavily overlapping) crops must rank above crops
+    from the far end of the texture."""
+    descs = crop_vlad
+    ids = sorted(descs)
+    wins = tot = 0
+    for a in range(len(ids) - 1):
+        far = ids[(a + len(ids) // 2) % len(ids)]
+        if far in (ids[a], ids[a + 1]):
+            continue
+        tot += 1
+        s_near = float(descs[ids[a]] @ descs[ids[a + 1]])
+        s_far = float(descs[ids[a]] @ descs[far])
+        wins += s_near > s_far
+    assert wins >= tot - 1, f"{wins}/{tot}"
+
+
+def test_similarity_pairs_select_neighbors(crop_vlad):
+    descs = crop_vlad
+    pairs = gd.global_similarity_pairs(descs, num_neighbors=2)
+    got = {(i, j) for (i, j, _) in pairs}
+    ids = sorted(descs)
+    chain = {(ids[a], ids[a + 1]) for a in range(len(ids) - 1)}
+    # most consecutive-crop edges surface at k=2
+    assert len(got & chain) >= len(chain) - 3, (sorted(got), sorted(chain))
+    # dedupe invariant: canonical i<j ordering, no reversed duplicates
+    assert all(i < j for (i, j, _) in pairs)
+
+
+def test_pipeline_global_pair_mode(ring_images):
+    from dagsfm_tpu.pipeline.feature_pipeline import (
+        FeaturePipeline, FeaturePipelineOptions)
+    from dagsfm_tpu.scene import cameras as cm
+
+    cams = {i: cm.make_simple_camera(i, 160, 120, focal=180.0)
+            for i in ring_images}
+    opts = FeaturePipelineOptions(pair_mode="global")
+    fp = FeaturePipeline(ring_images, cams, opts)
+    pairs = fp.select_pairs()
+    assert len(pairs) >= len(ring_images)
+    assert all(i != j for (i, j) in pairs)
+
+
+def test_mixed_image_sizes():
+    rng = np.random.default_rng(0)
+    images = {1: rng.random((120, 160)).astype(np.float32),
+              2: rng.random((90, 130)).astype(np.float32),
+              3: rng.random((120, 160)).astype(np.float32)}
+    descs = gd.global_descriptors(images)
+    assert all(v.shape == (gd.DESC_DIM,) for v in descs.values())
