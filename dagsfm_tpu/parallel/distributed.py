@@ -141,13 +141,27 @@ class ClusterJobRunner:
         self._my_nonce[k] = nonce
         payload = json.dumps({"host": self.host_id,
                               "t_start": time.time(), "nonce": nonce})
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as f:
+
+        def atomic_create() -> bool:
+            """Publish the lease atomically WITH its content: hard-link
+            a fully-written temp file into place. A plain O_EXCL create
+            followed by a write leaves an empty-file window in which a
+            racing claimer reads the lease as 'corrupt' and takes it
+            over — two winners (caught by the barrier-synced contention
+            test). link() either lands the complete payload or fails."""
+            tmp = path + f".claim.{nonce}"
+            with open(tmp, "w") as f:
                 f.write(payload)
+            try:
+                os.link(tmp, path)
+                return True
+            except FileExistsError:
+                return False
+            finally:
+                os.remove(tmp)
+
+        if atomic_create():
             return True
-        except FileExistsError:
-            pass
         try:
             with open(path) as f:
                 lease = json.load(f)
@@ -156,13 +170,7 @@ class ClusterJobRunner:
         except FileNotFoundError:
             # holder finished/released between our check and read: retry
             # the atomic create once
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                with os.fdopen(fd, "w") as f:
-                    f.write(payload)
-                return True
-            except FileExistsError:
-                return False
+            return atomic_create()
         except (json.JSONDecodeError, KeyError):
             pass  # corrupt lease -> takeover below
         tmp = path + f".takeover.{nonce}"

@@ -107,6 +107,13 @@ def cmd_vocab_tree_matcher(args):
     _run_matcher(args, "retrieval")
 
 
+def cmd_global_matcher(args):
+    """Global-descriptor kNN pairing + matching (ref mirror_matcher /
+    MirrorSimilarityGraph role, similarity_graph.h:91-120; embedding =
+    VLAD over SIFT, features/global_descriptor.py)."""
+    _run_matcher(args, "global")
+
+
 def cmd_mapper(args):
     """Multi-model incremental mapping with init-trial relaxation;
     models are written under output_path/0, /1, ... (ref mapper CLI +
@@ -900,7 +907,8 @@ def build_parser() -> argparse.ArgumentParser:
     ] + image_reader_flags)
     for name, fn in (("exhaustive_matcher", cmd_exhaustive_matcher),
                      ("sequential_matcher", cmd_sequential_matcher),
-                     ("vocab_tree_matcher", cmd_vocab_tree_matcher)):
+                     ("vocab_tree_matcher", cmd_vocab_tree_matcher),
+                     ("global_matcher", cmd_global_matcher)):
         add(name, fn, [
             ("--image_path", dict(required=True)),
             ("--database_path", dict(required=True)),

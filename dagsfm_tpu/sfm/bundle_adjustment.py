@@ -126,12 +126,21 @@ def all_pinhole(arrays) -> bool:
 
 def make_problem(arrays, max_track_len: int = 16,
                  const_image=None, const_points=None,
-                 cam_refine=None, dtype=jnp.float64) -> BAProblem:
+                 cam_refine=None, dtype=jnp.float64,
+                 reuse_shapes: bool = False) -> BAProblem:
     """Build a BAProblem from SceneArrays (+ track grouping on host).
 
-    The track-slot width T is shrunk to the actual max track length
-    (rounded up to a multiple of 4) — the Schur assembly cost scales
-    with T or T^2, so unused padded slots are pure waste.
+    The track-slot width T is shrunk to the actual max track length —
+    the Schur assembly cost scales with T or T^2, so unused padded slots
+    are pure waste.
+
+    reuse_shapes: round the derived shape keys (track width T, per-image
+    slot count M, live-observation bucket) to POWERS OF TWO instead of
+    tight multiples. Tight rounding is ~1.7x faster per solve (less
+    padded work) and right for one-off problems (benchmarks, final BA);
+    pow2 rounding is what the incremental mapper needs — its problems
+    grow continuously and every distinct shape is a multi-second XLA
+    recompile.
     """
     import numpy as np
     from dagsfm_tpu.ops.triangulation import track_blocks_from_obs
@@ -141,13 +150,13 @@ def make_problem(arrays, max_track_len: int = 16,
     opn = np.asarray(arrays.obs_point)
     omn = np.asarray(arrays.obs_mask)
     if omn.any():
-        # round the slot width to a power of two: T is a jit shape key,
-        # and a multiple-of-4 rounding produced one recompile per
-        # distinct track length across an incremental run
         actual = int(np.bincount(opn[omn], minlength=P).max())
-        t = 4
-        while t < actual:
-            t *= 2
+        if reuse_shapes:
+            t = 4
+            while t < actual:
+                t *= 2
+        else:
+            t = max(4, -(-actual // 4) * 4)
         max_track_len = min(max_track_len, t)
     # group observation indices by point (vectorized: stable sort by
     # point id, slot position = rank within group; overflow slots are
@@ -190,12 +199,12 @@ def make_problem(arrays, max_track_len: int = 16,
     # per-observation kernel then does real work only, padded to a
     # power-of-2 bucket for shape reuse across LM solves
     live = np.nonzero(om)[0]
-    # x4 bucket steps: the live-observation count is a jit shape key and
-    # grows continuously over an incremental run — power-of-two steps
-    # recompiled the LM solver at every doubling
+    # reuse_shapes: x4 bucket steps (the live-observation count grows
+    # continuously over an incremental run — fine steps recompiled the
+    # LM solver constantly); tight: x2 from 256 (old behavior)
     n_bucket = 256
     while n_bucket < max(len(live), 1):
-        n_bucket *= 4
+        n_bucket *= 4 if reuse_shapes else 2
     n_bucket = min(n_bucket, N)
     if n_bucket < N:
         perm = np.zeros(N, np.int64)
@@ -220,7 +229,8 @@ def make_problem(arrays, max_track_len: int = 16,
     if const_points is None:
         const_points = np.zeros(P, bool)
 
-    cam_obs, cam_mask = _group_obs_by_image(obs_image_c, om_c, I)
+    cam_obs, cam_mask = _group_obs_by_image(obs_image_c, om_c, I,
+                                            reuse_shapes=reuse_shapes)
 
     C = arrays.cam_params.shape[0]
     if cam_refine is None:
@@ -247,22 +257,27 @@ def make_problem(arrays, max_track_len: int = 16,
     )
 
 
-def _group_obs_by_image(obs_image, obs_mask, num_images: int):
+def _group_obs_by_image(obs_image, obs_mask, num_images: int,
+                        reuse_shapes: bool = False):
     """(I, M) observation-index slots grouped by image (dual of trk_obs).
 
-    M = max live observations of any image, rounded up to a POWER OF TWO:
-    M is a jit shape key, and a multiple-of-8 rounding caused a recompile
-    nearly every BA call of an incremental run (the per-image max grows
-    continuously).
+    M = max live observations of any image. reuse_shapes rounds M to a
+    POWER OF TWO (M is a jit shape key and the per-image max grows
+    continuously across an incremental run — fine rounding recompiled
+    nearly every BA call); tight mode rounds to a multiple of 8.
     """
     import numpy as np
     oi = np.asarray(obs_image)
     om = np.asarray(obs_mask)
     live = np.nonzero(om)[0]
     counts = np.bincount(oi[live], minlength=num_images)
-    M = 8
-    while M < int(counts.max(initial=0)):
-        M *= 2
+    peak = int(counts.max(initial=0))
+    if reuse_shapes:
+        M = 8
+        while M < peak:
+            M *= 2
+    else:
+        M = max(8, -(-peak // 8) * 8)
     cam_obs = np.zeros((num_images, M), np.int32)
     cam_mask = np.zeros((num_images, M), bool)
     order = np.argsort(oi[live], kind="stable")

@@ -698,7 +698,8 @@ class IncrementalMapper:
         if not refine_on:
             cam_refine = None
         prob = ba.make_problem(arrays, max_track_len=self.opts.max_track_len,
-                               const_image=const, cam_refine=cam_refine)
+                               const_image=const, cam_refine=cam_refine,
+                               reuse_shapes=True)
         # max_iterations rides as a TRACED argument so local BA (15) and
         # global BA (40) of the same problem shapes share one executable
         opts = ba.BAOptions(loss="cauchy", loss_scale=1.0,

@@ -336,3 +336,74 @@ class TestJaxDistributedSmoke:
                             f"{o[-500:]}")
             assert p.returncode == 0, o[-2000:]
         assert any("psum ok" in o for o in outs), outs
+
+
+class TestCrashSafePublication:
+    """Round-4 ADVICE fixes: temp-path publication, append-only failure
+    counters, and lease re-verification before publishing."""
+
+    def test_partial_matching_db_not_done(self, tmp_path):
+        from dagsfm_tpu.parallel.distributed import MatchingJobRunner
+        r = MatchingJobRunner(str(tmp_path), 0)
+        # a crash mid-write leaves only the temp file -> job stays
+        # claimable instead of being silently merged as complete
+        with open(r.tmp_out_path(3), "w") as f:
+            f.write("partial sqlite bytes")
+        assert not r.is_done(3)
+        assert r.claim(3)
+        r.complete_db(3)
+        assert r.is_done(3)
+
+    def test_failure_counter_append_only_concurrent(self, tmp_path):
+        """Two runners (different hosts) recording failures concurrently
+        never lose an increment — each failure is one O_EXCL marker."""
+        from dagsfm_tpu.parallel.distributed import ClusterJobRunner
+        a = ClusterJobRunner(str(tmp_path), 0, max_attempts=4)
+        b = ClusterJobRunner(str(tmp_path), 1, max_attempts=4)
+        assert a.record_failure(7) == 1
+        assert b.record_failure(7) == 2
+        assert a.record_failure(7) == 3
+        assert not a.is_failed(7)
+        assert b.record_failure(7) == 4
+        assert a.is_failed(7) and b.is_failed(7)
+
+    def test_verify_lease_detects_takeover(self, tmp_path):
+        from dagsfm_tpu.parallel.distributed import ClusterJobRunner
+        a = ClusterJobRunner(str(tmp_path), 0, lease_timeout_s=0.0)
+        b = ClusterJobRunner(str(tmp_path), 1, lease_timeout_s=0.0)
+        assert a.claim(0)
+        assert a.verify_lease(0)
+        # lease immediately expired (timeout 0) -> b takes it over
+        assert b.claim(0)
+        assert b.verify_lease(0)
+        assert not a.verify_lease(0)   # a must notice it lost the lease
+
+    def test_cluster_complete_is_atomic_rename(self, tmp_path):
+        """complete() publishes via rename: no partial partition dir can
+        ever satisfy is_done, and a second publisher loses cleanly."""
+        import numpy as np
+        from dagsfm_tpu.parallel.distributed import ClusterJobRunner
+        from dagsfm_tpu.scene.reconstruction import Reconstruction
+        from dagsfm_tpu.scene import cameras as cm
+        from dagsfm_tpu.scene.reconstruction import ImageRecord
+
+        rec = Reconstruction()
+        rec.cameras[1] = cm.make_simple_camera(1, 64, 48, focal=50.0)
+        for i in (1, 2):
+            rec.images[i] = ImageRecord(
+                image_id=i, name=f"im{i}", camera_id=1,
+                qvec=np.array([1.0, 0, 0, 0]), tvec=np.zeros(3),
+                xys=np.zeros((0, 2)),
+                point3D_ids=np.zeros(0, np.int64))
+            rec.register_image(i)
+        a = ClusterJobRunner(str(tmp_path), 0)
+        b = ClusterJobRunner(str(tmp_path), 1)
+        assert not a.is_done(5)
+        a.claim(5)
+        a.complete(5, rec)
+        assert a.is_done(5)
+        b.complete(5, rec)     # double winner: keeps the first, no crash
+        assert b.is_done(5)
+        import os
+        leftovers = [d for d in os.listdir(tmp_path) if ".tmp." in d]
+        assert not leftovers, leftovers
