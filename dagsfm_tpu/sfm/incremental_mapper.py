@@ -350,10 +350,16 @@ class IncrementalMapper:
                              self.rec.images[image_id].xys[kp_idx])
         uvp = _pad_to(uv, n)
         thr = (self.opts.abs_pose_max_error_px / self._focal(image_id)) ** 2
-        res = _ransac_p3p(self._next_key(), jnp.asarray(Xp), jnp.asarray(uvp),
-                          jnp.asarray(mask), thr,
-                          self.opts.num_ransac_hypotheses)
-        n_inl = int(res.num_inliers)
+        # ONE device dispatch + ONE host fetch for the whole
+        # registration estimate: P3P-LORANSAC, pose refinement and the
+        # quat conversion are fused, and every output crosses the
+        # tunnel together (separate int()/asarray() fetches cost one
+        # ~35 ms round trip EACH through remote TPU — they dominated
+        # warm registration time)
+        q2, t2, inliers, n_inl = jax.device_get(_register_pose(
+            self._next_key(), jnp.asarray(Xp), jnp.asarray(uvp),
+            jnp.asarray(mask), thr, self.opts.num_ransac_hypotheses))
+        n_inl = int(n_inl)
         if (n_inl < self.opts.abs_pose_min_num_inliers
                 or n_inl < self.opts.abs_pose_min_inlier_ratio
                 * len(kp2pts)):
@@ -361,18 +367,13 @@ class IncrementalMapper:
                 self._failed_regs.get(image_id, 0) + 1
             return False
 
-        Rt = np.asarray(res.model)
-        R, t = Rt[:, :3], Rt[:, 3]
-        q2, t2 = _refine_pose_q(jnp.asarray(R), jnp.asarray(t),
-                                jnp.asarray(Xp), jnp.asarray(uvp),
-                                res.inliers)
         im = self.rec.images[image_id]
         im.qvec = np.asarray(q2)
         im.tvec = np.asarray(t2)
         self.rec.register_image(image_id)
 
         # add observations for inlier 2D-3D (continue tracks)
-        inl = np.asarray(res.inliers)[: len(X)]
+        inl = np.asarray(inliers)[: len(X)]
         used_kp = set()
         for k in np.nonzero(inl)[0]:
             kp = int(kp_idx[k])
@@ -729,22 +730,48 @@ class IncrementalMapper:
                 self.rec.cameras[c] = cam._replace(
                     params=tuple(float(v) for v in newp[k, :n]))
 
-    def adjust_local_bundle(self, image_id: int):
-        """BA over the most-connected registered neighbors (ref :563)."""
-        # connectivity = shared 3D points
+    def _local_refine(self, image_ids: list) -> None:
+        """Per-round local refinement: Complete/Merge over the new
+        images' points, local BA around them, then the global-BA growth
+        check (ref :563 iterative local refinement + triangulator
+        Complete/Merge; batch mode passes several images at once)."""
+        local_pts = [int(p) for i in image_ids
+                     for p in self.rec.images[i].point3D_ids if p >= 0]
+        self.complete_tracks(local_pts)
+        self.merge_tracks()
+        self.adjust_local_bundle(image_ids)
+        if self.needs_global_ba():
+            # iterative global refinement (ref :658):
+            # retriangulate + complete + merge, then BA
+            self.retriangulate()
+            self.complete_tracks()
+            self.merge_tracks(set(self.rec.points3D.keys()))
+            self.adjust_global_bundle()
+            self.filter_points()
+
+    def adjust_local_bundle(self, image_ids):
+        """BA over the most-connected registered neighbors of the given
+        image(s) (ref :563; batch mode refines one bundle around the
+        whole round's new registrations)."""
+        if isinstance(image_ids, (int, np.integer)):
+            image_ids = [int(image_ids)]
+        new = list(dict.fromkeys(int(i) for i in image_ids))
+        # connectivity = shared 3D points with ANY of the new images
         shared: dict[int, int] = {}
-        im = self.rec.images[image_id]
-        for pid in im.point3D_ids:
-            if pid < 0 or int(pid) not in self.rec.points3D:
-                continue
-            for (j, _) in self.rec.points3D[int(pid)].track:
-                if j != image_id:
-                    shared[j] = shared.get(j, 0) + 1
-        local = sorted(shared, key=lambda j: -shared[j])
-        local = local[: self.opts.local_ba_num_images - 1] + [image_id]
+        for image_id in new:
+            im = self.rec.images[image_id]
+            for pid in im.point3D_ids:
+                if pid < 0 or int(pid) not in self.rec.points3D:
+                    continue
+                for (j, _) in self.rec.points3D[int(pid)].track:
+                    if j not in new:
+                        shared[j] = shared.get(j, 0) + 1
+        budget = max(self.opts.local_ba_num_images - len(new),
+                     len(new))
+        local = sorted(shared, key=lambda j: -shared[j])[:budget] + new
         # anchor: all *other* registered images stay fixed implicitly by
         # fixing the two most-connected local images
-        const = set(local[:2]) - {image_id}
+        const = set(local[:2]) - set(new)
         if not const:
             const = set(local[:1])
         self._run_ba(local, self.opts.ba_local_max_iterations, const)
@@ -918,13 +945,15 @@ class IncrementalMapper:
         # repeated reconstruct() calls on the same mapper
         self._last_snapshot_at = self.rec.num_reg_images()
 
-        per_round = 1 if self.opts.registration_mode == "strict" else 5
+        strict = self.opts.registration_mode == "strict"
+        per_round = 1 if strict else 5
         stall = 0
         while stall < 2:
             nxt = self.find_next_images()
             if not nxt:
                 break
             progressed = False
+            new_imgs = []
             # batch mode: register up to 5 of the ranked candidates per
             # round (the per-round re-rank was the 500+-image scaling
             # wall); strict mode re-ranks after every registration like
@@ -933,26 +962,20 @@ class IncrementalMapper:
                 if not self.register_next_image(image_id):
                     continue
                 self.triangulate_image(image_id)
-                # iterative local refinement (ref :563 + triangulator
-                # Complete/Merge over the changed points)
-                local_pts = [int(p) for p in
-                             self.rec.images[image_id].point3D_ids
-                             if p >= 0]
-                self.complete_tracks(local_pts)
-                self.merge_tracks()
-                self.adjust_local_bundle(image_id)
-                if self.needs_global_ba():
-                    # iterative global refinement (ref :658):
-                    # retriangulate + complete + merge, then BA
-                    self.retriangulate()
-                    self.complete_tracks()
-                    self.merge_tracks(set(self.rec.points3D.keys()))
-                    self.adjust_global_bundle()
-                    self.filter_points()
+                new_imgs.append(image_id)
                 progressed = True
+                if strict:
+                    self._local_refine([image_id])
                 self._maybe_snapshot()
                 if callback is not None:
                     callback(self)
+            if not strict and new_imgs:
+                # batch mode amortizes the per-registration refinement:
+                # ONE complete/merge/local-BA over the round's newly
+                # registered images (the per-image variant spent >50%
+                # of warm wall-clock re-running these five times per
+                # round; strict mode keeps exact reference cadence)
+                self._local_refine(new_imgs)
             stall = 0 if progressed else stall + 1
         self.retriangulate()
         self.complete_tracks()
@@ -984,6 +1007,18 @@ def _refine_pose_q(R, t, X, uv, inliers):
     call: ~1 recompile + dozens of eager op round-trips each time)."""
     R2, t2 = ap.refine_pose(R, t, X, uv, inliers)
     return rops.rotmat_to_quat(R2), t2
+
+
+@functools.partial(jax.jit, static_argnames=("num_hyps",))
+def _register_pose(key, X, uv, mask, thr, num_hyps):
+    """Fused registration estimate: P3P-LORANSAC + Cauchy-IRLS pose
+    refinement + quat conversion in one program. Returns
+    (qvec, tvec, inliers, num_inliers) — fetched together in one host
+    round trip."""
+    res = _ransac_p3p(key, X, uv, mask, thr, num_hyps)
+    Rt = res.model
+    R2, t2 = ap.refine_pose(Rt[:, :3], Rt[:, 3], X, uv, res.inliers)
+    return rops.rotmat_to_quat(R2), t2, res.inliers, res.num_inliers
 
 
 @jax.jit
