@@ -380,6 +380,7 @@ def run_suite(smoke=False, only=None, out_path="BENCH_SUITE.json",
             for metric, r in previous.items():
                 if any(metric.startswith(p) for p in prefixes):
                     results.append(dict(r))
+            _flush()
             continue
         before = len(results)
         for attempt in (0, 1):
