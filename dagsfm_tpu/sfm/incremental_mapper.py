@@ -44,6 +44,10 @@ class MapperOptions:
     """Defaults mirror reference incremental_mapper.h:66-134 options."""
     init_min_num_inliers: int = 50
     init_min_tri_angle_deg: float = 4.0
+    # bootstrap retries: how many DIFFERENT init pairs to try when the
+    # model never grows past 2 images (ref init_num_trials=200; ours is
+    # smaller because each trial includes a full growth attempt)
+    init_num_trials: int = 10
     abs_pose_max_error_px: float = 12.0
     abs_pose_min_num_inliers: int = 15
     abs_pose_min_inlier_ratio: float = 0.25
@@ -198,9 +202,11 @@ class IncrementalMapper:
                 return (i, j)
         return None
 
-    def _estimate_two_view(self, i: int, j: int):
+    def _estimate_two_view(self, i: int, j: int, min_matches=None):
         m = self.graph.matches_between(i, j)
-        if len(m) < max(8, self.opts.init_min_num_inliers // 4):
+        if min_matches is None:
+            min_matches = max(8, self.opts.init_min_num_inliers // 4)
+        if len(m) < min_matches:
             return None
         x1 = self._normalize(i, self.rec.images[i].xys[m[:, 0]])
         x2 = self._normalize(j, self.rec.images[j].xys[m[:, 1]])
@@ -216,7 +222,13 @@ class IncrementalMapper:
         return m, x1p, x2p, mask, res
 
     def _try_initialize(self, i: int, j: int) -> bool:
-        out = self._estimate_two_view(i, j)
+        # host pre-filter: fewer matches than init_min_num_inliers can
+        # never clear the inlier gate below — skip the device RANSAC
+        # entirely (with init-pair RETRY, scans walk deep into the
+        # ranked pair list; paying ~0.1 s of device time per hopeless
+        # pair made each retry cost a minute at 200+ images)
+        out = self._estimate_two_view(
+            i, j, min_matches=self.opts.init_min_num_inliers)
         if out is None:
             return False
         m, x1p, x2p, mask, res = out
@@ -929,16 +941,86 @@ class IncrementalMapper:
         scene_io.write_model_bin(self.rec, out)
 
     # ------------------------------------------------- main loop
+    def _reset_model(self) -> None:
+        """Tear the current model down to nothing (for init-pair retry)."""
+        for pid in list(self.rec.points3D):
+            self.rec.delete_point3D(pid)
+        for i in list(self.rec.reg_image_ids):
+            self.rec.deregister_image(i)
+        self._num_reg_at_last_global_ba = 0
+        self._num_pts_at_last_global_ba = 0
+
     def reconstruct(self, callback=None) -> Reconstruction:
-        """Full incremental pipeline (ref controller Reconstruct loop)."""
-        pair = self.find_initial_pair()
-        if pair is None:
+        """Full incremental pipeline (ref controller Reconstruct loop).
+
+        Like the reference (init_num_trials=200,
+        incremental_mapper_controller.h + FindInitialImagePair retry
+        loop), a bootstrap whose model never grows past the initial
+        pair is torn down and reconstruction restarts from the NEXT
+        candidate init pair — a weak first pair (few triangulated
+        points shared with any third view) must not strand the whole
+        cluster at 2 registered images.
+        """
+        last_pair = None
+        pair = self.find_initial_pair()   # commits the pair's 2-view model
+        for trial in range(self.opts.init_num_trials):
+            if pair is None:
+                break
+            last_pair = pair
+            self._bootstrap_and_grow(pair, callback)
+            if self.rec.num_reg_images() > 2:
+                break
+            if trial + 1 >= self.opts.init_num_trials:
+                break  # out of trials: keep this 2-view model
+            self._reset_model()
+            pair = self.find_initial_pair()
+        if self.rec.num_reg_images() < 2 and last_pair is not None:
+            # every alternative failed and the last teardown left the
+            # model empty: re-establish the best 2-view model we had
+            # rather than returning nothing
+            self._tried_init_pairs.discard(last_pair)
+            if self.find_initial_pair() is not None:
+                self._bootstrap_and_grow(last_pair, callback)
+        if self.rec.num_reg_images() < 2:
             return self.rec
+        self.retriangulate()
+        self.complete_tracks()
+        self.merge_tracks(set(self.rec.points3D.keys()))
+        self.adjust_global_bundle()
+        self.filter_points()
+        self.adjust_global_bundle()
+        return self.rec
+
+    def _count_2d3d(self, image_id: int) -> int:
+        """Host-only count of distinct keypoints of `image_id` with a
+        2D-3D correspondence into the current model."""
+        reg = set(self.rec.reg_image_ids)
+        kps = set()
+        for kp, j, kj in self.graph.correspondences_of_image(
+                image_id, others=reg):
+            if self.rec.images[int(j)].point3D_ids[int(kj)] >= 0:
+                kps.add(int(kp))
+        return len(kps)
+
+    def _bootstrap_viable(self) -> bool:
+        """Cheap post-bootstrap gate: SOME unregistered image must have
+        enough 2D-3D support to possibly register — otherwise this init
+        pair strands the model at 2 images and a retry should not pay
+        for a full (doomed) growth attempt + registration RANSACs."""
+        need = self.opts.abs_pose_min_num_inliers
+        for image_id in self.find_next_images()[:10]:
+            if self._count_2d3d(image_id) >= need:
+                return True
+        return False
+
+    def _bootstrap_and_grow(self, pair, callback=None) -> None:
         i0, j0 = pair
         self.triangulate_image(i0)
         self.triangulate_image(j0)
         self.adjust_global_bundle()
         self.filter_points()
+        if self.rec.num_points3D() and not self._bootstrap_viable():
+            return  # retry loop tears down and tries the next init pair
         # snapshot counter starts at the post-init registration count, so
         # the init pair does not count toward snapshot_images_freq (ref
         # incremental_mapper_controller.cc:672); also resets across
@@ -977,13 +1059,6 @@ class IncrementalMapper:
                 # round; strict mode keeps exact reference cadence)
                 self._local_refine(new_imgs)
             stall = 0 if progressed else stall + 1
-        self.retriangulate()
-        self.complete_tracks()
-        self.merge_tracks(set(self.rec.points3D.keys()))
-        self.adjust_global_bundle()
-        self.filter_points()
-        self.adjust_global_bundle()
-        return self.rec
 
 
 # ---------------------------------------------------------------------------

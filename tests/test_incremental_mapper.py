@@ -213,3 +213,51 @@ def test_reconstruct_recovers_unknown_focal():
     assert abs(f_rec - f_gt) / f_gt < 0.02, (f_rec, f_gt)
     errs = synthetic.pose_errors(rec, sc)
     assert errs["ate"] < 0.05, errs
+
+
+def test_init_pair_retry_escapes_isolated_pair():
+    """A poisoned BEST init pair (two images matching only each other)
+    bootstraps but can never grow; the mapper must tear it down and
+    retry with the next init pair (ref init_num_trials retry loop) and
+    still deliver the full reconstruction."""
+    import numpy as np
+    from dagsfm_tpu.scene import synthetic
+    from dagsfm_tpu.scene.reconstruction import ImageRecord
+    from dagsfm_tpu.sfm.incremental_mapper import (IncrementalMapper,
+                                                   MapperOptions)
+
+    spec = synthetic.SyntheticSceneSpec(
+        num_cameras=10, num_points=400, pixel_noise=0.4, seed=7)
+    sc = synthetic.generate(spec)
+    cams, images, graph = synthetic.to_matching_problem(sc)
+    # inject two decoy images with MORE mutual matches than any real
+    # pair, consistent two-view geometry (translation with varying
+    # disparity), and zero connection to the rest of the scene
+    rng = np.random.default_rng(0)
+    n_fake = 400
+    f = cams[1].focal()
+    cx, cy = cams[1].params[1], cams[1].params[2]
+    xy1 = rng.uniform([cx - 200, cy - 150], [cx + 200, cy + 150],
+                      (n_fake, 2))
+    disp = rng.uniform(30.0, 90.0, n_fake)
+    xy2 = xy1 + np.stack([disp, np.zeros(n_fake)], axis=1)
+    a, b = 101, 102
+    for iid, xys in ((a, xy1), (b, xy2)):
+        images[iid] = ImageRecord(
+            image_id=iid, name=f"decoy{iid}", camera_id=1,
+            qvec=np.array([1.0, 0, 0, 0]), tvec=np.zeros(3),
+            xys=xys, point3D_ids=np.full(n_fake, -1, np.int64))
+        graph.add_image(iid, n_fake)
+    graph.add_matches(a, b, np.stack([np.arange(n_fake)] * 2, axis=1))
+    # decoy pair has the most matches -> tried first
+    real_max = max(len(m) for (i, j), m in graph.pair_matches.items()
+                   if (i, j) != (a, b))
+    assert n_fake > real_max, (n_fake, real_max)
+
+    mapper = IncrementalMapper(cams, images, graph, MapperOptions(seed=0))
+    rec = mapper.reconstruct()
+    err = synthetic.pose_errors(rec, sc)
+    # the REAL scene got reconstructed despite the decoy init pair
+    assert err["num_reg"] == 10, err
+    assert err["ate"] < 0.01, err
+    assert not rec.images[a].registered and not rec.images[b].registered
