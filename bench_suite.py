@@ -200,16 +200,21 @@ def bench_matcher_pallas(results, smoke=False):
 
 def bench_two_view(results, smoke=False):
     """Batched two-view geometric verification (SURVEY hot loop #3):
-    full E/F/H model selection and the essential_only fast path."""
+    full E/F/H model selection and the essential_only fast path.
+
+    256 pairs with MIXED correspondence counts (200/256/384/500 -> two
+    padded shape buckets, 256 and 512) — the realistic regime where the
+    bucketing + batching machinery itself is part of what is measured."""
     from dagsfm_tpu.ops import two_view_classify as tvc
     from dagsfm_tpu.scene import synthetic
 
-    n_pairs = 8 if smoke else 64
-    npts = 256
+    n_pairs = 8 if smoke else 256
+    npts_cycle = (200, 256, 384, 500)
     rng = np.random.default_rng(3)
     K = np.array([[800.0, 0, 320], [0, 800.0, 240], [0, 0, 1]])
     pair_data = []
     for k in range(n_pairs):
+        npts = npts_cycle[k % len(npts_cycle)]
         # synthetic two-view scene: random relative pose + 3D points
         X = rng.uniform([-2, -2, 4], [2, 2, 8], (npts, 3))
         aa = rng.normal(0, 0.1, 3)
@@ -241,7 +246,8 @@ def bench_two_view(results, smoke=False):
         results.append({
             "metric": f"two_view_verify_pairs_per_s_{tag}",
             "value": round(n_pairs / dt_warm, 3), "unit": "pairs/s",
-            "pairs_classified": n_ok, "includes_jit_compile": False,
+            "pairs_total": n_pairs, "pairs_classified": n_ok,
+            "includes_jit_compile": False,
             "vs_baseline": round(n_pairs / dt_warm / 100.0, 3)})
 
 

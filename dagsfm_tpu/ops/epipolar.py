@@ -395,6 +395,41 @@ def decompose_essential(E: jax.Array):
     return Rs, ts
 
 
+def _cheirality_counts(Rs: jax.Array, ts: jax.Array, x1: jax.Array,
+                       x2: jax.Array, mask: jax.Array) -> jax.Array:
+    """Points passing cheirality for each (R, t) candidate — closed form.
+
+    Instead of DLT triangulation (a 4x4 eigendecomposition PER POINT PER
+    CANDIDATE — it dominated two-view verification at ~170 ms per
+    64-pair batch), solve the exact two-view depth system per point:
+    z2·h2 = z1·R·h1 + t with h = [x, y, 1], i.e. the 3x2 least squares
+    [R h1, -h2]·[z1, z2]ᵀ = -t via its 2x2 normal equations. ~30 flops
+    per point, fully vectorized. Same candidate ranking as the reference
+    (base/essential_matrix.cc PoseFromEssentialMatrix cheirality count).
+
+    Rs (C, 3, 3), ts (C, 3); x1, x2 (N, 2) normalized; mask (N,).
+    Returns (C,) int counts.
+    """
+    ones = jnp.ones_like(x1[..., :1])
+    h1 = jnp.concatenate([x1, ones], axis=-1)           # (N, 3)
+    h2 = jnp.concatenate([x2, ones], axis=-1)
+    a = jnp.einsum("cij,nj->cni", Rs, h1)               # (C, N, 3) = R h1
+    b = -h2[None]                                        # (C=1 bcast, N, 3)
+    aa = jnp.sum(a * a, axis=-1)                         # (C, N)
+    ab = jnp.sum(a * b, axis=-1)
+    bb = jnp.sum(b * b, axis=-1)
+    at = jnp.einsum("cni,ci->cn", a, -ts)
+    bt = jnp.einsum("ni,ci->cn", -h2, -ts)
+    det = aa * bb - ab * ab
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    z1 = (at * bb - ab * bt) / det
+    z2 = (aa * bt - ab * at) / det
+    # depth sanity bounds mirror COLMAP's kMinDepth / max_depth logic
+    good = ((z1 > 1e-6) & (z2 > 1e-6) & (z1 < 1e3) & (z2 < 1e3)
+            & mask[None, :])
+    return jnp.sum(good, axis=-1)
+
+
 def pose_from_essential(E: jax.Array, x1: jax.Array, x2: jax.Array,
                         mask: jax.Array):
     """Pick the (R, t) candidate with max points passing cheirality.
@@ -404,22 +439,6 @@ def pose_from_essential(E: jax.Array, x1: jax.Array, x2: jax.Array,
     cam1 coords to cam2 (x2 = R x1 + t up to scale).
     """
     Rs, ts = decompose_essential(E)
-    q1 = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0, 0.0], E.dtype), (4,))
-    t1 = jnp.zeros(3, E.dtype)
-
-    def count(R, t):
-        q2 = rops.rotmat_to_quat(R)
-        N = x1.shape[0]
-        X = tri.triangulate_two_view(
-            jnp.broadcast_to(q1, (N, 4)), jnp.broadcast_to(t1, (N, 3)),
-            jnp.broadcast_to(q2, (N, 4)), jnp.broadcast_to(t, (N, 3)),
-            x1, x2)
-        z1 = X[:, 2]
-        z2 = (X @ R.T + t)[:, 2]
-        # depth sanity bounds mirror COLMAP's kMinDepth / max_depth logic
-        good = (z1 > 1e-6) & (z2 > 1e-6) & (z1 < 1e3) & (z2 < 1e3) & mask
-        return jnp.sum(good)
-
-    counts = jax.vmap(count)(Rs, ts)
+    counts = _cheirality_counts(Rs, ts, x1, x2, mask)
     best = jnp.argmax(counts)
     return Rs[best], ts[best], counts[best]

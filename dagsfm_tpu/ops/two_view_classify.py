@@ -88,18 +88,23 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnames=("num_hyps",))
-def _efh_batched(keys, x1, x2, p1, p2, mask, thr_n, thr_p, num_hyps):
+def _efh_batched(keys, x1, x2, p1, p2, mask, thr_n, thr_p, K1b, K2b,
+                 num_hyps):
     """E + F + H RANSAC for a BATCH of pairs in one compiled program.
 
     keys (B, 2); x1/x2 (B, N, 2) normalized coords; p1/p2 (B, N, 2)
     pixels; mask (B, N); thr_n/thr_p (B,) squared thresholds (normalized /
-    pixel). This is the production verification kernel — the reference
-    runs the same three estimations per pair inside verifier threads
+    pixel); K1b/K2b (B, 3, 3) intrinsics (for the F -> E pose upgrade).
+    This is the production verification kernel — the reference runs the
+    same three estimations per pair inside verifier threads
     (two_view_geometry.cc:113 + matching.cc:550-608); here all pairs and
-    all hypotheses run as one device batch.
+    all hypotheses run as one device batch, INCLUDING both pose
+    recoveries (E-path and the F->E upgrade, two_view_geometry.cc:169) —
+    host model selection then never needs a per-pair device dispatch,
+    which at ~26 ms per tunnel round trip used to dominate the stage.
     """
 
-    def one(key, a, b, pa, pb, m, tn, tp):
+    def one(key, a, b, pa, pb, m, tn, tp, Ka, Kb):
         kE, kF, kH = jax.random.split(key, 3)
         resE = rnsc.ransac(
             kE, solver=epi.essential_5pt, residual_fn=epi.sampson_error,
@@ -119,11 +124,14 @@ def _efh_batched(keys, x1, x2, p1, p2, mask, thr_n, thr_p, num_hyps):
             refit=lambda u, v, inl: epi.homography_dlt(u, v,
                                                        mask=inl)[0][0])
         R, t, nf = epi.pose_from_essential(resE.model, a, b, resE.inliers)
+        E_up = jnp.swapaxes(Kb, -1, -2) @ resF.model @ Ka
+        R_F, t_F, _nfF = epi.pose_from_essential(E_up, a, b, resF.inliers)
         return (resE.model, resE.num_inliers, resE.inliers, R, t, nf,
                 resF.model, resF.num_inliers, resF.inliers,
-                resH.model, resH.num_inliers, resH.inliers)
+                resH.model, resH.num_inliers, resH.inliers, R_F, t_F)
 
-    return jax.vmap(one)(keys, x1, x2, p1, p2, mask, thr_n, thr_p)
+    return jax.vmap(one)(keys, x1, x2, p1, p2, mask, thr_n, thr_p,
+                         K1b, K2b)
 
 
 @functools.partial(jax.jit, static_argnames=("num_hyps",))
@@ -224,8 +232,10 @@ def classify_pairs(pair_data: list,
         mb = np.zeros((B, N), bool)
         tnb = np.zeros(B)
         tpb = np.zeros(B)
+        K1b = np.zeros((B, 3, 3))
+        K2b = np.zeros((B, 3, 3))
         for k, (pk, p) in enumerate(chunk):
-            (pix1, pix2, x1, x2, thr_n, thr_p, *_rest) = p
+            (pix1, pix2, x1, x2, thr_n, thr_p, K1, K2, *_rest) = p
             n = len(pix1)
             x1b[k, :n] = x1
             x2b[k, :n] = x2
@@ -234,14 +244,17 @@ def classify_pairs(pair_data: list,
             mb[k, :n] = True
             tnb[k] = thr_n
             tpb[k] = thr_p
+            K1b[k] = K1
+            K2b[k] = K2
         keys = keys_all[kidx: kidx + B]
         results = []
         if kind == "e":
-            resE = _e_batched(
+            # one transfer for the whole tuple: per-array np.asarray paid
+            # one tunnel round trip EACH (~270 ms per 64-pair chunk)
+            resE = jax.device_get(_e_batched(
                 keys, jnp.asarray(x1b), jnp.asarray(x2b),
                 jnp.asarray(mb), jnp.asarray(tnb),
-                options.num_hypotheses)
-            resE = [np.asarray(r) for r in resE]
+                options.num_hypotheses))
             zero3 = np.zeros((3, 3))
             for k, (pk, p) in enumerate(chunk):
                 (pix1, pix2, x1, x2, thr_n, thr_p, K1, K2, sz1,
@@ -257,12 +270,12 @@ def classify_pairs(pair_data: list,
                     F=zero3, nF=0, inlF=np.zeros(nwin, bool),
                     H=zero3, nH=0, inlH=np.zeros(nwin, bool))))
             return results
-        res = _efh_batched(
+        res = jax.device_get(_efh_batched(
             keys, jnp.asarray(x1b), jnp.asarray(x2b),
             jnp.asarray(p1b), jnp.asarray(p2b), jnp.asarray(mb),
             jnp.asarray(tnb), jnp.asarray(tpb),
-            options.num_hypotheses)
-        res = [np.asarray(r) for r in res]
+            jnp.asarray(K1b), jnp.asarray(K2b),
+            options.num_hypotheses))
         for k, (pk, p) in enumerate(chunk):
             (pix1, pix2, x1, x2, thr_n, thr_p, K1, K2, sz1, sz2,
              calibrated, _N) = p
@@ -275,7 +288,8 @@ def classify_pairs(pair_data: list,
                 F=res[6][k], nF=int(res[7][k]),
                 inlF=res[8][k][: len(pix1)],
                 H=res[9][k], nH=int(res[10][k]),
-                inlH=res[11][k][: len(pix1)])))
+                inlH=res[11][k][: len(pix1)],
+                R_F=res[12][k], t_F=res[13][k])))
         return results
 
     n_threads = 1
@@ -310,7 +324,8 @@ def classify_pairs(pair_data: list,
 
 def _select_model(pix1, pix2, x1, x2, K1, K2, image_size1, image_size2,
                   calibrated, options, *, E, nE, inlE, R_E, t_E, nf,
-                  F, nF, inlF, H, nH, inlH) -> TwoViewResult:
+                  F, nF, inlF, H, nH, inlH,
+                  R_F=None, t_F=None) -> TwoViewResult:
     """Model selection from precomputed E/F/H RANSAC results (host; ref
     two_view_geometry.cc:113 flow incl. planar/panoramic/watermark)."""
     n = len(pix1)
@@ -360,14 +375,19 @@ def _select_model(pix1, pix2, x1, x2, K1, K2, image_size1, image_size2,
         F_out = np.asarray(F)
         if options.compute_relative_pose:
             # pose via the F -> E upgrade with (prior) intrinsics
-            # (ref two_view_geometry.cc:169 EstimateRelativePose)
-            E_up = K2.T @ np.asarray(F) @ K1
-            N = _bucket(n)
-            Rj, tj, _nf = _pose_from_e(
-                jnp.asarray(E_up), jnp.asarray(_pad(x1, N)),
-                jnp.asarray(_pad(x2, N)),
-                jnp.asarray(_pad(inliers, N)))
-            R, t = np.asarray(Rj), np.asarray(tj)
+            # (ref two_view_geometry.cc:169 EstimateRelativePose) —
+            # already computed inside the batched device kernel; fall
+            # back to a per-pair dispatch only when called outside it
+            if R_F is not None:
+                R, t = np.asarray(R_F), np.asarray(t_F)
+            else:
+                E_up = K2.T @ np.asarray(F) @ K1
+                N = _bucket(n)
+                Rj, tj, _nf = _pose_from_e(
+                    jnp.asarray(E_up), jnp.asarray(_pad(x1, N)),
+                    jnp.asarray(_pad(x2, N)),
+                    jnp.asarray(_pad(inliers, N)))
+                R, t = np.asarray(Rj), np.asarray(tj)
     elif config in (PLANAR_OR_PANORAMIC, PLANAR, PANORAMIC, WATERMARK):
         H_out = np.asarray(H)
         if options.compute_relative_pose and config != WATERMARK:
