@@ -83,15 +83,21 @@ def match_pairs(descriptors: dict, masks: dict, pairs: list,
     (ops/pallas_matcher.pallas_match_pair_batch: the (K, K) score matrix
     stays in VMEM; forward top-2 and the reverse cross-check argmax come
     out of one pass). Default: ON for TPU backends when K is a multiple
-    of 128 (measured ~10x the XLA matmul+top_k path device-side, 8.6 ms
-    vs 85 ms per 256-pair batch at K=1024), OFF on CPU where Pallas runs
-    through the interpreter. The round-3 single-pair kernel that paid
-    one dispatch per pair is superseded.
+    of 128 AND the kernel fits the ~16 MiB VMEM budget at that K
+    (pallas_batch_supported — at large K, e.g. 8192, the (K, TILE_J)
+    score block would blow VMEM, so the XLA path runs instead); OFF on
+    CPU where Pallas runs through the interpreter. Measured ~10x the XLA
+    matmul+top_k path device-side (8.6 vs 85 ms per 256-pair batch at
+    K=1024). NOTE: the Pallas kernel computes similarities from bf16-cast
+    descriptors (f32 accumulate) — borderline ratio-test decisions can
+    flip vs the f32 XLA matcher. The round-3 single-pair kernel that
+    paid one dispatch per pair is superseded.
     """
     K = next(iter(descriptors.values())).shape[0] if descriptors else 0
     if use_pallas is None:
+        from dagsfm_tpu.ops.pallas_matcher import pallas_batch_supported
         use_pallas = (jax.default_backend() not in ("cpu",)
-                      and K % 128 == 0 and K >= 128)
+                      and pallas_batch_supported(K))
     out = {}
     for s in range(0, len(pairs), batch_size):
         chunk = pairs[s: s + batch_size]

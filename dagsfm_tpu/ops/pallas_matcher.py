@@ -113,13 +113,45 @@ def pallas_top2(d1: jax.Array, d2: jax.Array, interpret: bool = False):
 # direction; both are gone here).
 # ---------------------------------------------------------------------------
 
+VMEM_BUDGET_BYTES = 15 * 1024 * 1024   # Mosaic scoped-vmem limit is 16M
+
+
+def _vmem_estimate(K: int, tile_j: int) -> int:
+    """Per-grid-step scoped-VMEM bytes for _batch_matcher_kernel.
+
+    Affine model FIT TO MOSAIC'S OWN OOM REPORTS on v5e (the compiler
+    prints the exact scoped allocation it attempts): 18.24M at
+    (K=2048, TILE_J=1024) and 20.67M at (K=4096, TILE_J=128) give
+    ~1.15x the (K, TILE_J) f32 score block plus ~4.7 KiB per K row
+    (double-buffered bf16 descriptor blocks, f32 conversions, loop
+    carries, masks, outputs). Rounded up for safety. In practice this
+    admits K <= 2048 (K=1024 -> j-tile 1024, K=2048 -> 512) and routes
+    larger K to the XLA matcher."""
+    return int(1.2 * K * tile_j * 4) + 4864 * K
+
+
 def _pick_tile(K: int) -> int:
-    """Largest MXU-friendly j-tile dividing K (bigger tiles amortize the
-    per-tile loop overhead; measured 256->1024 halves device time)."""
+    """Largest MXU-friendly j-tile dividing K THAT FITS VMEM (bigger
+    tiles amortize the per-tile loop overhead; measured 256->1024 halves
+    device time at K=1024 — but the (K, TILE_J) f32 score block must
+    stay inside the ~16 MiB/core budget, so large K forces small
+    tiles)."""
     for t in (1024, 512, 256, 128):
-        if K % t == 0:
+        if K % t == 0 and _vmem_estimate(K, t) <= VMEM_BUDGET_BYTES:
             return t
-    raise ValueError(f"K={K} must be a multiple of 128")
+    raise ValueError(
+        f"K={K}: no 128-multiple tile fits the VMEM budget "
+        f"(use pallas_batch_supported to gate)")
+
+
+def pallas_batch_supported(K: int) -> bool:
+    """True if the batched kernel can run at this descriptor count: K a
+    multiple of 128 and some j-tile keeps the kernel under the VMEM
+    budget. features.matching uses this to gate the TPU auto-enable and
+    fall back to the XLA matcher otherwise."""
+    if K < 128 or K % 128 != 0:
+        return False
+    return _vmem_estimate(K, 128) <= VMEM_BUDGET_BYTES
 
 
 def _batch_matcher_kernel(TILE_J, d1_ref, d2_ref, m1_ref, m2_ref,
@@ -173,9 +205,12 @@ def _batch_matcher_kernel(TILE_J, d1_ref, d2_ref, m1_ref, m2_ref,
 def pallas_top2_batch(d1, d2, m1, m2, interpret: bool = False):
     """Batched fused top-2 + reverse-argmax.
 
-    d1, d2 (B, K, 128) float (cast to bf16 for the MXU; f32 accumulate);
-    m1, m2 (B, K) bool. K multiple of 256. Returns (best, second, idx,
-    rev_idx) each (B, K)."""
+    d1, d2 (B, K, 128) float (cast to bf16 for the MXU; f32 accumulate —
+    borderline ratio-test decisions can differ from the f32 XLA matcher
+    by the bf16 rounding of the similarity inputs); m1, m2 (B, K) bool.
+    K multiple of 128 with a j-tile under the VMEM budget (gate with
+    pallas_batch_supported). Returns (best, second, idx, rev_idx) each
+    (B, K)."""
     import functools as _ft
     B, K, D = d1.shape
     outs = pl.pallas_call(

@@ -210,9 +210,18 @@ class ClusterJobRunner:
         try:
             os.rename(tmp, out)
         except OSError:
-            # another holder published first — keep theirs
             import shutil
-            shutil.rmtree(tmp, ignore_errors=True)
+            if os.path.exists(out):
+                # another holder published first — keep theirs
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                # genuine rename failure (permissions, ENOTDIR, shared-FS
+                # quirk): the partition's work would be silently lost and
+                # the job would look claimable-but-never-done. Record the
+                # failure and re-raise so the caller/operator sees it.
+                shutil.rmtree(tmp, ignore_errors=True)
+                self.record_failure(k)
+                raise
         try:
             os.remove(self._lease_path(k))
         except FileNotFoundError:

@@ -143,6 +143,7 @@ class IncrementalMapper:
         self._tried_init_pairs: set = set()
         self._failed_regs: dict = {}
         self._merge_candidates: set = set()
+        self._cam_snapshot: dict | None = None
 
     @classmethod
     def wrap(cls, cameras: dict, rec: Reconstruction,
@@ -162,6 +163,7 @@ class IncrementalMapper:
         self._tried_init_pairs = set()
         self._failed_regs = {}
         self._merge_candidates = set()
+        self._cam_snapshot = None
         return self
 
     # ------------------------------------------------------------------ utils
@@ -942,11 +944,22 @@ class IncrementalMapper:
 
     # ------------------------------------------------- main loop
     def _reset_model(self) -> None:
-        """Tear the current model down to nothing (for init-pair retry)."""
+        """Tear the current model down to nothing (for init-pair retry).
+
+        Also restores camera intrinsics to their pre-trial values: the
+        failed trial's adjust_global_bundle refines distortion (and
+        focal for no-prior cameras) for SHARED camera records, so a
+        poisoned bootstrap would otherwise leak corrupted intrinsics
+        into later trials and the final model. Registration-failure
+        counters reset too — they described the torn-down model."""
         for pid in list(self.rec.points3D):
             self.rec.delete_point3D(pid)
         for i in list(self.rec.reg_image_ids):
             self.rec.deregister_image(i)
+        if self._cam_snapshot is not None:
+            self.rec.cameras.clear()
+            self.rec.cameras.update(self._cam_snapshot)
+        self._failed_regs = {}
         self._num_reg_at_last_global_ba = 0
         self._num_pts_at_last_global_ba = 0
 
@@ -962,6 +975,9 @@ class IncrementalMapper:
         cluster at 2 registered images.
         """
         last_pair = None
+        # pre-trial intrinsics snapshot (Camera records are immutable
+        # NamedTuples, so a shallow dict copy suffices) for _reset_model
+        self._cam_snapshot = dict(self.rec.cameras)
         pair = self.find_initial_pair()   # commits the pair's 2-view model
         for trial in range(self.opts.init_num_trials):
             if pair is None:
