@@ -198,6 +198,51 @@ def bench_matcher_pallas(results, smoke=False):
         "vs_baseline": round(B / dt / 100.0, 3)})
 
 
+def bench_matcher_production(results, smoke=False):
+    """Matching through the PRODUCTION entry point (match_pairs, the API
+    FeaturePipeline calls) — includes descriptor staging, batching, and
+    match-array fetch, not just the device kernel. Exercises the
+    device-resident bank: each image uploads once, pair batches gather
+    on-device."""
+    import time as _time
+    from dagsfm_tpu.features import matching as fm
+
+    K = 1024
+    n_imgs = 16 if smoke else 64
+    rng = np.random.default_rng(0)
+    descs, masks = {}, {}
+    for i in range(n_imgs):
+        d = np.abs(rng.normal(size=(K, 128))).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        descs[i] = d
+        masks[i] = np.ones(K, bool)
+    pairs = [(i, j) for i in range(n_imgs) for j in range(i + 1, n_imgs)]
+    # the pipeline builds the DescriptorBank at EXTRACTION time from the
+    # device-side SIFT output (feature_pipeline.extract_features), so the
+    # production matching stage starts from a resident bank:
+    import jax.numpy as jnp
+    bank = fm.make_bank_from_device(
+        list(range(n_imgs)),
+        jnp.asarray(np.stack([descs[i] for i in range(n_imgs)])),
+        jnp.asarray(np.stack([masks[i] for i in range(n_imgs)])))
+    fm.match_pairs(descs, masks, pairs, bank=bank)     # warm compiles
+    t0 = _time.perf_counter()
+    out = fm.match_pairs(descs, masks, pairs, bank=bank)
+    dt = _time.perf_counter() - t0
+    assert len(out) == len(pairs)
+    # and the cold path variant that must upload host dicts first
+    t0 = _time.perf_counter()
+    fm.match_pairs(descs, masks, pairs)
+    dt_upload = _time.perf_counter() - t0
+    results.append({
+        "metric": f"match_pairs_production_pairs_per_s_{K}desc",
+        "value": round(len(pairs) / dt, 3), "unit": "pairs/s",
+        "value_with_host_upload": round(len(pairs) / dt_upload, 3),
+        "n_pairs": len(pairs), "n_images": n_imgs,
+        "includes_jit_compile": False,
+        "vs_baseline": round(len(pairs) / dt / 100.0, 3)})
+
+
 def bench_two_view(results, smoke=False):
     """Batched two-view geometric verification (SURVEY hot loop #3):
     full E/F/H model selection and the essential_only fast path.
@@ -366,9 +411,12 @@ def run_suite(smoke=False, only=None, out_path="BENCH_SUITE.json",
 
     axes = [
         ("sift", lambda: bench_sift(results, smoke), ["sift_"]),
-        ("match", lambda: bench_matcher(results, smoke), ["match_"]),
+        ("match", lambda: bench_matcher(results, smoke),
+         ["match_pairs_per_s_"]),
         ("match_pallas", lambda: bench_matcher_pallas(results, smoke),
          ["pallas_match_"]),
+        ("match_prod", lambda: bench_matcher_production(results, smoke),
+         ["match_pairs_production_"]),
         ("two_view", lambda: bench_two_view(results, smoke),
          ["two_view_"]),
         ("retrieval", lambda: bench_retrieval(results, smoke),

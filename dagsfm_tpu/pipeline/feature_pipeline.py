@@ -109,6 +109,7 @@ class FeaturePipeline:
         self.matches: dict = {}
         self.two_view: dict = {}
         self.timings: dict = {}
+        self.bank: "fm.DescriptorBank | None" = None   # device-resident
 
     # ------------------------------------------------------------- extract
     def extract_features(self):
@@ -126,6 +127,7 @@ class FeaturePipeline:
             scale = bound / max_dim
             newH, newW = int(round(H * scale)), int(round(W * scale))
             scale_back = max_dim / bound
+        bank_ids, bank_desc, bank_mask = [], [], []
         for s in range(0, len(ids), B):
             chunk = ids[s: s + B]
             real = len(chunk)
@@ -136,6 +138,13 @@ class FeaturePipeline:
                 batch = jax.image.resize(
                     batch, (batch.shape[0], newH, newW), "linear")
             feats = sift.extract(batch, self.opts.sift)
+            if self._want_device_bank():
+                # keep the device-side copy (bf16) for resident matching
+                # — descriptors then never re-cross the host link
+                bank_ids.extend(chunk[:real])
+                bank_desc.append(
+                    feats.descriptor[:real].astype(jnp.bfloat16))
+                bank_mask.append(feats.mask[:real])
             xy = np.asarray(feats.xy) * scale_back
             desc = np.asarray(feats.descriptor)
             mask = np.asarray(feats.mask)
@@ -148,7 +157,19 @@ class FeaturePipeline:
                     [xy[k], scl[k][:, None], ori[k][:, None]], axis=1)
                 self.descriptors[i] = desc[k]
                 self.masks[i] = mask[k]
+        if bank_ids:
+            self.bank = fm.make_bank_from_device(
+                bank_ids, jnp.concatenate(bank_desc),
+                jnp.concatenate(bank_mask))
         self.timings["extraction"] = time.time() - t0
+
+    def _want_device_bank(self) -> bool:
+        """Device-resident descriptor bank: on for device backends when
+        the bf16 bank fits comfortably in HBM."""
+        if jax.default_backend() == "cpu":
+            return False
+        K = self.opts.sift.max_num_features
+        return len(self.images) * K * 128 * 2 < 4 * 1024 ** 3
 
     # --------------------------------------------------------------- pairs
     def select_pairs(self) -> list:
@@ -230,7 +251,7 @@ class FeaturePipeline:
         if pairs is None:
             pairs = self.select_pairs()
         raw = fm.match_pairs(self.descriptors, self.masks, pairs,
-                             self.opts.matching)
+                             self.opts.matching, bank=self.bank)
         self.timings["matching"] = time.time() - t0
 
         t0 = time.time()

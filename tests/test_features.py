@@ -132,6 +132,49 @@ class TestMatcher:
         assert len(out[(1, 3)]) >= 90  # identical images match fully
         assert len(out[(1, 2)]) >= 35
 
+    def test_match_pairs_device_resident_parity(self):
+        """The device-resident packed path (incl. the >PACK_M overflow
+        fallback) must reproduce the per-pair loop exactly."""
+        rng = np.random.default_rng(5)
+        K = 256
+        base = np.abs(rng.normal(size=(K, 128))).astype(np.float32)
+        descs, masks = {}, {}
+        for i in range(6):
+            d = base + (0.1 + 0.1 * (i % 2)) * np.abs(
+                rng.normal(size=(K, 128))).astype(np.float32)
+            d /= np.linalg.norm(d, axis=1, keepdims=True)
+            descs[i] = d
+            m = np.ones(K, bool)
+            m[K - 1 - (i * 13) % 40:] = False
+            masks[i] = m
+        pairs = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+        ref = fm.match_pairs(descs, masks, pairs, device_resident=False,
+                             use_pallas=False)
+        res = fm.match_pairs(descs, masks, pairs, device_resident=True,
+                             use_pallas=False)
+        # correlated descriptors make some pairs overflow PACK_M, so
+        # both the packed fast path and the full-row fallback run
+        assert any(len(ref[p]) > fm.PACK_M for p in pairs)
+        for p in pairs:
+            np.testing.assert_array_equal(ref[p], res[p])
+
+    def test_match_pairs_with_bank(self):
+        d1, d2 = self._toy(3)
+        K = d1.shape[0]
+        pad = 128 - K % 128 if K % 128 else 0
+        d1p = np.concatenate([d1, np.zeros((pad, 128), np.float32)])
+        d2p = np.concatenate([d2, np.zeros((pad, 128), np.float32)])
+        m = np.zeros(len(d1p), bool)
+        m[:K] = True
+        descs = {1: d1p, 2: d2p}
+        masks = {1: m, 2: m.copy()}
+        bank = fm.make_bank(descs, masks)
+        out = fm.match_pairs(descs, masks, [(1, 2)], bank=bank,
+                             device_resident=True, use_pallas=False)
+        ref = fm.match_pairs(descs, masks, [(1, 2)],
+                             device_resident=False, use_pallas=False)
+        np.testing.assert_array_equal(out[(1, 2)], ref[(1, 2)])
+
 
 class TestRetrieval:
     def test_similar_images_paired(self):
