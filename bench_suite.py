@@ -383,6 +383,8 @@ def run_suite(smoke=False, only=None, out_path="BENCH_SUITE.json",
     """
     import jax
     import jax.numpy as jnp
+    from dagsfm_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
     previous = {}

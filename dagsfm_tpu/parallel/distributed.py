@@ -290,7 +290,11 @@ def run_worker(cameras: dict, images: dict, graph, clusters: list,
     from dagsfm_tpu.sfm.correspondence_graph import CorrespondenceGraph
     from dagsfm_tpu.sfm.incremental_mapper import (IncrementalMapper,
                                                    MapperOptions)
+    from dagsfm_tpu.utils.compile_cache import enable_persistent_cache
 
+    # every cluster worker is (typically) a fresh process: share compiled
+    # bucketed kernels across workers via the persistent cache
+    enable_persistent_cache()
     runner = ClusterJobRunner(work_dir, host_id,
                               lease_timeout_s=lease_timeout_s)
     order = sorted(range(len(clusters)),

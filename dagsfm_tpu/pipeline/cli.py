@@ -1091,6 +1091,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    # persistent compile cache: lease workers and repeated CLI stages are
+    # fresh processes that would otherwise re-pay every jit compile
+    from dagsfm_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     args.func(args)
 

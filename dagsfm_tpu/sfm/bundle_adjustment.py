@@ -55,6 +55,7 @@ class BAProblem(NamedTuple):
     # track blocks: obs grouped by point, padded to T slots
     trk_obs: jax.Array       # (P, T) int32 index into obs arrays (0 pad)
     trk_mask: jax.Array      # (P, T) bool
+    trk_img: jax.Array       # (P, T) int32 image id of each track slot
     # camera blocks: obs grouped by image, padded to M slots (the dual of
     # trk_obs; makes camera-indexed reductions gather+sum instead of
     # scatter — required by the scatter-free iterative-Schur matvec)
@@ -103,7 +104,13 @@ class BAOptions(NamedTuple):
     solver: str = "auto"               # 'dense' | 'iterative' | 'auto'
     dense_threshold: int = 250
     max_linear_iterations: int = 100   # ref BA config: 100 linear iters
-    linear_rtol: float = 1e-3          # CG stop: ||r|| <= rtol * ||b||
+    # CG stop: ||r|| <= rtol * ||b||. 0.03 matches the inexact-Newton
+    # regime Ceres runs ITERATIVE_SCHUR in (its eta default is 0.1,
+    # solver.h) — measured on the 1000-cam/1M-obs problem: identical
+    # final cost and mean reprojection error vs 1e-3 at 1.7x the LM
+    # iteration rate (the extra CG iterations refined a step LM was
+    # about to re-linearize anyway).
+    linear_rtol: float = 0.03
     # LM early exit: accepted step with relative cost improvement below
     # ftol terminates (Ceres function_tolerance analog; 0 disables)
     ftol: float = 1e-6
@@ -194,43 +201,36 @@ def make_problem(arrays, max_track_len: int = 16,
     kept[trk_obs[trk_mask]] = True
     om = om & kept
 
-    # compact to the live observations (SceneArrays rows cover every
-    # keypoint slot; only ~1/10 are typically triangulated) — every
-    # per-observation kernel then does real work only, padded to a
-    # power-of-2 bucket for shape reuse across LM solves
-    live = np.nonzero(om)[0]
-    # reuse_shapes: x4 bucket steps (the live-observation count grows
-    # continuously over an incremental run — fine steps recompiled the
-    # LM solver constantly); tight: x2 from 256 (old behavior)
-    n_bucket = 256
-    while n_bucket < max(len(live), 1):
-        n_bucket *= 4 if reuse_shapes else 2
-    n_bucket = min(n_bucket, N)
-    if n_bucket < N:
-        perm = np.zeros(N, np.int64)
-        perm[live] = np.arange(len(live))
-        sel = np.zeros(n_bucket, np.int64)
-        sel[: len(live)] = live
-        obs_image_c = np.asarray(arrays.obs_image)[sel]
-        obs_point_c = np.asarray(arrays.obs_point)[sel]
-        obs_xy_c = np.asarray(arrays.obs_xy)[sel]
-        om_c = np.zeros(n_bucket, bool)
-        om_c[: len(live)] = True
-        trk_obs = np.where(trk_mask, perm[trk_obs], 0).astype(np.int32)
-    else:
-        obs_image_c = np.asarray(arrays.obs_image)
-        obs_point_c = np.asarray(arrays.obs_point)
-        obs_xy_c = np.asarray(arrays.obs_xy)
-        om_c = om
-
     I = arrays.image_qvec.shape[0]
     if const_image is None:
         const_image = np.zeros(I, bool)
     if const_points is None:
         const_points = np.zeros(P, bool)
 
-    cam_obs, cam_mask = _group_obs_by_image(obs_image_c, om_c, I,
-                                            reuse_shapes=reuse_shapes)
+    # IMAGE-MAJOR FLAT LAYOUT: the flat observation order IS the
+    # flattened (I, M) camera-slot layout (cam_obs == arange(I*M)).
+    # TPU gathers run at ~10 GB/s vs ~800 GB/s dense reads (measured:
+    # a (1M, 6) gather costs 2.5 ms, the dual slot gather 5.9 ms, a
+    # segment_sum 10 ms — they dominated iterative-Schur BA). With this
+    # layout every camera-side reduction is a reshape+sum and every
+    # obs_image-indexed gather a broadcast; only the point-side
+    # permutation keeps real gathers (from small (I,·)/(P,·) tables).
+    cam_slots, cam_mask = _group_obs_by_image(
+        np.asarray(arrays.obs_image), om, I, reuse_shapes=reuse_shapes)
+    M = cam_slots.shape[1]
+    flat = cam_slots.reshape(-1)
+    live_flat = cam_mask.reshape(-1)
+    obs_image_c = np.repeat(np.arange(I, dtype=np.int32), M)
+    obs_point_c = np.where(live_flat,
+                           np.asarray(arrays.obs_point)[flat], 0)
+    obs_xy_c = np.where(live_flat[:, None],
+                        np.asarray(arrays.obs_xy)[flat], 0.0)
+    om_c = live_flat
+    newidx = np.zeros(N, np.int64)
+    newidx[flat[live_flat]] = np.nonzero(live_flat)[0]
+    trk_obs = np.where(trk_mask, newidx[trk_obs], 0).astype(np.int32)
+    trk_img = np.where(trk_mask, obs_image_c[trk_obs], 0).astype(np.int32)
+    cam_obs = np.arange(I * M, dtype=np.int32).reshape(I, M)
 
     C = arrays.cam_params.shape[0]
     if cam_refine is None:
@@ -249,6 +249,7 @@ def make_problem(arrays, max_track_len: int = 16,
         jnp.asarray(om_c),
         jnp.asarray(trk_obs),
         jnp.asarray(trk_mask),
+        jnp.asarray(trk_img),
         jnp.asarray(cam_obs),
         jnp.asarray(cam_mask),
         jnp.asarray(const_image),
@@ -288,6 +289,26 @@ def _group_obs_by_image(obs_image, obs_mask, num_images: int,
     cam_obs[sorted_i, pos] = sorted_live
     cam_mask[sorted_i, pos] = True
     return cam_obs, cam_mask
+
+
+# ---------------------------------------------------------------------------
+# image-major layout helpers (make_problem guarantees the flat obs order
+# is the flattened (I, M) camera-slot layout)
+# ---------------------------------------------------------------------------
+
+def _cam_slot_view(z: jax.Array, prob: BAProblem) -> jax.Array:
+    """(N, ...) per-obs -> (I, M, ...) camera-slot view: a pure reshape
+    (no gather) under the image-major layout."""
+    I, M = prob.cam_obs.shape
+    return z.reshape((I, M) + z.shape[1:])
+
+
+def _expand_cam(x: jax.Array, prob: BAProblem) -> jax.Array:
+    """(I, ...) per-image -> (N, ...) per-obs: broadcast, replacing the
+    x[prob.obs_image] gather."""
+    I, M = prob.cam_obs.shape
+    return jnp.broadcast_to(
+        x[:, None], (I, M) + x.shape[1:]).reshape((I * M,) + x.shape[1:])
 
 
 # ---------------------------------------------------------------------------
@@ -357,11 +378,11 @@ def _residuals_and_jacobians(prob: BAProblem, refine_int: bool,
     camera cam_refine row; all-zero when refine_int is False (static —
     the jacfwd over dint is skipped entirely).
     """
-    q = prob.image_qvec[prob.obs_image]
-    t = prob.image_tvec[prob.obs_image]
-    cidx = prob.image_camidx[prob.obs_image]
-    mid = prob.cam_model_id[cidx]
-    par = prob.cam_params[cidx]
+    q = _expand_cam(prob.image_qvec, prob)
+    t = _expand_cam(prob.image_tvec, prob)
+    cidx = _expand_cam(prob.image_camidx, prob)
+    mid = _expand_cam(prob.cam_model_id[prob.image_camidx], prob)
+    par = _expand_cam(prob.cam_params[prob.image_camidx], prob)
     X = prob.points[prob.obs_point]
 
     G = cm.NUM_INTRINSIC_SLOTS
@@ -370,7 +391,7 @@ def _residuals_and_jacobians(prob: BAProblem, refine_int: bool,
     zerosG = jnp.zeros(G, prob.obs_xy.dtype)
 
     if pinhole_only and not refine_int:
-        fpar = _pinhole_fparams(prob)[cidx]
+        fpar = _expand_cam(_pinhole_fparams(prob)[prob.image_camidx], prob)
 
         def one_ph(qv, tv, p4, x, xy):
             f = lambda dc, dp: _project_one_pinhole(dc, dp, qv, tv, p4,
@@ -649,7 +670,8 @@ def _build_and_solve_joint(prob: BAProblem, r_w, Jc_w, Jp_w, Jg_w, lam,
 
 
 def _build_and_solve_iterative_joint(prob: BAProblem, r_w, Jc_w, Jp_w,
-                                     Jg_w, lam, opts: BAOptions):
+                                     Jg_w, lam, opts: BAOptions,
+                                     x_init=None):
     """ITERATIVE_SCHUR with intrinsics: matrix-free PCG on the joint
     camera-side system (poses + per-camera intrinsics), SCHUR_JACOBI
     block preconditioner (pose blocks + intrinsics blocks, coupling
@@ -669,12 +691,12 @@ def _build_and_solve_iterative_joint(prob: BAProblem, r_w, Jc_w, Jp_w,
     free = (~prob.const_image).astype(dtype)
     gfree = (prob.cam_refine > 0).astype(dtype)             # (C,G)
     camhot = jax.nn.one_hot(prob.image_camidx, C, dtype=dtype)  # (I,C)
-    cidx = prob.image_camidx[prob.obs_image]
+    cidx = _expand_cam(prob.image_camidx, prob)
 
     cmask = prob.cam_mask.astype(dtype)[..., None, None]
-    Jc_slot = Jc_w[prob.cam_obs] * cmask                    # (I,M,2,6)
-    Jg_slot = Jg_w[prob.cam_obs] * cmask                    # (I,M,2,G)
-    rc_slot = r_w[prob.cam_obs] * cmask[..., 0]
+    Jc_slot = _cam_slot_view(Jc_w, prob) * cmask            # (I,M,2,6)
+    Jg_slot = _cam_slot_view(Jg_w, prob) * cmask            # (I,M,2,G)
+    rc_slot = _cam_slot_view(r_w, prob) * cmask[..., 0]
     U_pp = jnp.einsum("imra,imrb->iab", Jc_slot, Jc_slot)
     U_gg_img = jnp.einsum("imra,imrb->iab", Jg_slot, Jg_slot)  # (I,G,G)
     U_pg = jnp.einsum("imra,imrb->iab", Jc_slot, Jg_slot)   # (I,6,G)
@@ -698,14 +720,14 @@ def _build_and_solve_iterative_joint(prob: BAProblem, r_w, Jc_w, Jp_w,
         + opts.point_damping) * eye3[None]
     Vinv = _inv3(Vd + 1e-12 * eye3[None])
 
-    Wc = jnp.einsum("nri,nrj->nij", Jc_w, Jp_w)             # (N,6,3)
-    Wg = jnp.einsum("nri,nrj->nij", Jg_w, Jp_w)             # (N,G,3)
+    obs_live = prob.obs_mask.astype(dtype)[:, None, None]
+    Wc = jnp.einsum("nri,nrj->nij", Jc_w, Jp_w) * obs_live  # (N,6,3)
+    Wg = jnp.einsum("nri,nrj->nij", Jg_w, Jp_w) * obs_live  # (N,G,3)
     WcVinv = jnp.einsum("nij,njk->nik", Wc, Vinv[prob.obs_point])
     WgVinv = jnp.einsum("nij,njk->nik", Wg, Vinv[prob.obs_point])
 
     def cam_reduce(z):
-        z_slot = z[prob.cam_obs] * prob.cam_mask[..., None].astype(dtype)
-        return jnp.sum(z_slot, axis=1)                      # (I, ...)
+        return _cam_slot_view(z, prob).sum(axis=1)          # (I, ...)
 
     def fold(z_img):
         return jnp.einsum("ic,ia->ca", camhot, z_img)       # (C, ...)
@@ -738,13 +760,20 @@ def _build_and_solve_iterative_joint(prob: BAProblem, r_w, Jc_w, Jp_w,
     Minv_g = jnp.linalg.solve(Sdiag_g, jnp.broadcast_to(
         eyeG, Sdiag_g.shape))
 
+    # point-major copies hoisted out of the CG loop (see the non-joint
+    # solver: per-matvec (N,·)-table gathers were the round-4 bottleneck)
+    tmask3 = prob.trk_mask[..., None].astype(dtype)
+    Wc_pt = Wc[prob.trk_obs] * tmask                        # (P,T,6,3)
+    Wg_pt = Wg[prob.trk_obs] * tmask                        # (P,T,G,3)
+    trk_img = prob.trk_img                                   # (P,T)
+    trk_cam = prob.image_camidx[trk_img]                     # (P,T)
+
     def S_mv(xp, xg):
         xpm = xp * free[:, None]
         xgm = xg * gfree
-        u = jnp.einsum("nij,ni->nj", Wc, xpm[prob.obs_image]) + \
-            jnp.einsum("nij,ni->nj", Wg, xgm[cidx])          # (N,3)
-        u_slot = u[prob.trk_obs] * prob.trk_mask[..., None].astype(dtype)
-        y = jnp.einsum("pij,pj->pi", Vinv, jnp.sum(u_slot, axis=1))
+        tmp = jnp.einsum("ptij,pti->pj", Wc_pt, xpm[trk_img]) + \
+            jnp.einsum("ptij,pti->pj", Wg_pt, xgm[trk_cam])  # (P,3)
+        y = jnp.einsum("pij,pj->pi", Vinv, tmp)
         yo = y[prob.obs_point]
         zc = cam_reduce(jnp.einsum("nij,nj->ni", Wc, yo))    # (I,6)
         zg = fold(cam_reduce(jnp.einsum("nij,nj->ni", Wg, yo)))  # (C,G)
@@ -766,9 +795,15 @@ def _build_and_solve_iterative_joint(prob: BAProblem, r_w, Jc_w, Jp_w,
     bnorm = jnp.sqrt(dot(b_p, b_g, b_p, b_g))
     tol = opts.linear_rtol * jnp.maximum(bnorm, 1e-30)
 
-    xp0 = jnp.zeros_like(b_p)
-    xg0 = jnp.zeros_like(b_g)
-    rp0, rg0 = b_p, b_g
+    if x_init is None:
+        xp0 = jnp.zeros_like(b_p)
+        xg0 = jnp.zeros_like(b_g)
+        rp0, rg0 = b_p, b_g
+    else:
+        xp0 = x_init * free[:, None]
+        xg0 = jnp.zeros_like(b_g)
+        Ap0, Ag0 = S_mv(xp0, xg0)
+        rp0, rg0 = b_p - Ap0, b_g - Ag0
     zp0, zg0 = precond(rp0, rg0)
     rz0 = dot(rp0, rg0, zp0, zg0)
 
@@ -796,51 +831,50 @@ def _build_and_solve_iterative_joint(prob: BAProblem, r_w, Jc_w, Jp_w,
     dcam = dcam * free[:, None]
     dint = dint * gfree
 
-    slot_Wc = Wc[prob.trk_obs] * tmask
-    slot_Wg = Wg[prob.trk_obs] * tmask
-    dc_slots = dcam[prob.obs_image[prob.trk_obs]] * prob.trk_mask[..., None]
-    dg_slots = dint[cidx[prob.trk_obs]] * prob.trk_mask[..., None]
-    wtd = jnp.einsum("ptij,pti->pj", slot_Wc, dc_slots) + \
-        jnp.einsum("ptij,pti->pj", slot_Wg, dg_slots)
+    dc_slots = dcam[trk_img] * tmask3
+    dg_slots = dint[trk_cam] * tmask3
+    wtd = jnp.einsum("ptij,pti->pj", Wc_pt, dc_slots) + \
+        jnp.einsum("ptij,pti->pj", Wg_pt, dg_slots)
     dpt = jnp.einsum("pij,pj->pi", Vinv, gp - wtd)
     dpt = dpt * (~prob.const_points)[:, None].astype(dtype)
     return dcam, dint, dpt
 
 
 def _obs_reduce_wide(z, prob, num_images: int):
-    """Per-observation (N, K) payload -> per-image (I, K) sums via masked
-    segment_sum.
+    """Per-observation (N, K) payload -> per-image (I, K) sums.
 
-    ONLY for the wide (K=36/64) once-per-LM-iteration Sdiag reductions:
-    the gather-based cam_obs slot reduce — used everywhere else for its
-    scatter-free MXU shape — hits an XLA:TPU kernel fault when the fused
-    (I, M, 36) gather+subtract program crosses ~400k observations with
-    M=512 (reproduced: TPU worker 'kernel fault, not OOM'; the same
-    values via segment_sum or a slot-chunked loop agree bit-for-bit and
-    do not fault). The narrow (K<=8) per-CG-iteration reduces keep the
-    fast gather path."""
+    Under the image-major layout this is a masked reshape+sum — a dense
+    bandwidth-bound reduce with no gather and no scatter. (History: the
+    round-3 gather-based slot reduce hit an XLA:TPU kernel fault at
+    ~400k observations with M=512, and its segment_sum replacement cost
+    10 ms per call at 1M obs; both are gone with the layout change.)"""
     zm = z * prob.obs_mask[:, None].astype(z.dtype)
-    return jax.ops.segment_sum(zm, prob.obs_image,
-                               num_segments=num_images)
+    return _cam_slot_view(zm, prob).sum(axis=1)
 
 
 def _build_and_solve_iterative(prob: BAProblem, r_w, Jc_w, Jp_w, lam,
-                               opts: BAOptions):
+                               opts: BAOptions, x_init=None):
     """ITERATIVE_SCHUR regime: SCHUR_JACOBI-preconditioned CG on the
     reduced camera system, never materializing S as (I,I,6,6).
 
     Mirrors the reference's large-scene pick
     (/root/reference/src/optim/bundle_adjustment.cc:273-284: >1000 images
-    -> ITERATIVE_SCHUR + SCHUR_JACOBI). The matvec S·x is matrix-free and
-    scatter-free:
+    -> ITERATIVE_SCHUR + SCHUR_JACOBI). The matvec S·x is matrix-free,
+    scatter-free AND (camera-side) gather-free under the image-major
+    layout:
 
         S·x = U_damped·x − W V⁻¹ Wᵀ·x
-        Wᵀ·x : per-obs gather of x at obs_image + (6,3)ᵀ block product,
-               point-reduced through trk_obs track slots;
-        W·y  : per-obs gather of y at obs_point + block product,
-               camera-reduced through cam_obs camera slots.
+        Wᵀ·x : x broadcast per-obs (layout), folded straight to points
+               through the point-major W copy (W_pt) in one einsum;
+        W·y  : y gathered at obs_point (small (P,3) table) + block
+               product, camera-reduced by a reshape+sum.
 
-    Cost per CG iteration: O(N·18) flops + two gathers — no (I,I) term.
+    The only per-CG-iteration gathers touch SMALL tables ((I,6)/(P,3)),
+    where TPU gather throughput is acceptable — the (N,·)-table gathers
+    that dominated round 4 (5.9 ms each) are hoisted to one W_pt build
+    per linear solve. x_init warm-starts CG from the previous LM
+    iteration's solution (Ceres-style), typically halving CG iterations
+    once LM settles.
     """
     I = prob.image_qvec.shape[0]
     dtype = r_w.dtype
@@ -848,17 +882,26 @@ def _build_and_solve_iterative(prob: BAProblem, r_w, Jc_w, Jp_w, lam,
     eye3 = jnp.eye(3, dtype=dtype)
     free = (~prob.const_image).astype(dtype)
 
-    # per-camera blocks U, gc via camera-slot gathers (scatter-free)
+    # per-camera blocks U, gc via camera-slot reshapes (layout)
     cmask = prob.cam_mask.astype(dtype)[..., None, None]
-    Jc_slot = Jc_w[prob.cam_obs] * cmask                    # (I,M,2,6)
-    rc_slot = r_w[prob.cam_obs] * cmask[..., 0]             # (I,M,2)
+    Jc_slot = _cam_slot_view(Jc_w, prob) * cmask            # (I,M,2,6)
+    rc_slot = _cam_slot_view(r_w, prob) * cmask[..., 0]     # (I,M,2)
     U = jnp.einsum("imra,imrb->iab", Jc_slot, Jc_slot)      # (I,6,6)
     gc = -jnp.einsum("imra,imr->ia", Jc_slot, rc_slot)      # (I,6)
 
-    # per-point blocks V, gp via track-slot gathers
+    # point-major copies: ONE fused (P,T)-slot gather of the combined
+    # per-obs payload [Jp_w | r_w | W] per linear solve (three separate
+    # (N,·)-table gathers cost ~6 ms each on TPU; fused rows amortize
+    # the per-row gather overhead), instead of one gather per matvec.
+    obs_live = prob.obs_mask.astype(dtype)[:, None, None]
+    W = jnp.einsum("nri,nrj->nij", Jc_w, Jp_w) * obs_live   # (N,6,3)
+    payload = jnp.concatenate(
+        [Jp_w.reshape(-1, 6), r_w, W.reshape(-1, 18)], axis=1)  # (N,26)
     tmask = prob.trk_mask.astype(dtype)[..., None, None]
-    Jp_slot = Jp_w[prob.trk_obs] * tmask                    # (P,T,2,3)
-    rp_slot = r_w[prob.trk_obs] * tmask[..., 0]
+    slot = payload[prob.trk_obs] * tmask[..., 0]            # (P,T,26)
+    Jp_slot = slot[..., :6].reshape(*slot.shape[:2], 2, 3)
+    rp_slot = slot[..., 6:8]
+    W_pt = slot[..., 8:].reshape(*slot.shape[:2], 6, 3)     # (P,T,6,3)
     V = jnp.einsum("ptri,ptrj->pij", Jp_slot, Jp_slot)
     gp = -jnp.einsum("ptri,ptr->pi", Jp_slot, rp_slot)
 
@@ -869,35 +912,35 @@ def _build_and_solve_iterative(prob: BAProblem, r_w, Jc_w, Jp_w, lam,
         + opts.point_damping) * eye3[None]
     Vinv = _inv3(Vd + 1e-12 * eye3[None])                   # (P,3,3)
 
-    W = jnp.einsum("nri,nrj->nij", Jc_w, Jp_w)              # (N,6,3)
     WVinv = jnp.einsum("nij,njk->nik", W, Vinv[prob.obs_point])  # (N,6,3)
 
     def cam_reduce(z):
-        """(N,6) per-obs values -> (I,6) sums by image (gather+sum)."""
-        z_slot = z[prob.cam_obs] * prob.cam_mask[..., None].astype(dtype)
-        return jnp.sum(z_slot, axis=1)
+        """(N,K) per-obs values -> (I,K) sums by image (reshape+sum)."""
+        return _cam_slot_view(z, prob).sum(axis=1)
 
     # rhs: b = gc − W V⁻¹ gp, camera-reduced
     b = gc - cam_reduce(jnp.einsum("nik,nk->ni", WVinv, gp[prob.obs_point]))
     b = b * free[:, None]
 
-    # SCHUR_JACOBI preconditioner: diagonal blocks of S (segment-sum
-    # reduce — see _obs_reduce_wide for the TPU kernel-fault workaround)
-    B = jnp.einsum("nik,njk->nij", WVinv, W)                # (N,6,6)
-    Sdiag = Ud - _obs_reduce_wide(
-        B.reshape(-1, 36), prob, I).reshape(I, 6, 6)
+    # SCHUR_JACOBI preconditioner: diagonal blocks of S via the slot-view
+    # einsum — the (N,36) B tensor is never materialized (writing+
+    # re-reading it cost ~316 MB of HBM traffic per LM iteration)
+    Sdiag = Ud - jnp.einsum("imak,imbk->iab",
+                            _cam_slot_view(WVinv, prob),
+                            _cam_slot_view(W, prob))
     Sdiag = Sdiag * free[:, None, None] + \
         (1.0 - free)[:, None, None] * eyeC[None]
     Sdiag = 0.5 * (Sdiag + jnp.swapaxes(Sdiag, -1, -2)) + 1e-10 * eyeC[None]
     Minv = jnp.linalg.solve(Sdiag, jnp.broadcast_to(eyeC, Sdiag.shape))
 
+    trk_img = prob.trk_img                                   # (P,T)
+
     def S_mv(x):
         xm = x * free[:, None]
-        u = jnp.einsum("nij,ni->nj", W, xm[prob.obs_image])   # (N,3) Wᵀx
-        u_slot = u[prob.trk_obs] * prob.trk_mask[..., None].astype(dtype)
-        tmp = jnp.sum(u_slot, axis=1)                         # (P,3)
+        xg_pt = xm[trk_img]                                  # (P,T,6)
+        tmp = jnp.einsum("ptij,pti->pj", W_pt, xg_pt)        # (P,3) Wᵀx
         y = jnp.einsum("pij,pj->pi", Vinv, tmp)
-        z = jnp.einsum("nij,nj->ni", W, y[prob.obs_point])    # (N,6)
+        z = jnp.einsum("nij,nj->ni", W, y[prob.obs_point])   # (N,6)
         Sx = jnp.einsum("iab,ib->ia", Ud, xm) - cam_reduce(z)
         return Sx * free[:, None] + x * (1.0 - free)[:, None]
 
@@ -908,8 +951,12 @@ def _build_and_solve_iterative(prob: BAProblem, r_w, Jc_w, Jp_w, lam,
     bnorm = jnp.sqrt(jnp.sum(b * b))
     tol = opts.linear_rtol * jnp.maximum(bnorm, 1e-30)
 
-    x0 = jnp.zeros_like(b)
-    r0 = b
+    if x_init is None:
+        x0 = jnp.zeros_like(b)
+        r0 = b
+    else:
+        x0 = x_init * free[:, None]
+        r0 = b - S_mv(x0)
     z0 = precond(r0)
     p0 = z0
     rz0 = jnp.sum(r0 * z0)
@@ -937,10 +984,8 @@ def _build_and_solve_iterative(prob: BAProblem, r_w, Jc_w, Jp_w, lam,
     dcam = dcam * free[:, None]
 
     # back-substitute points: dx_p = Vinv (gp − Σ_k Wᵀ_k dcam_{i_k})
-    slot_W = W[prob.trk_obs] * tmask
-    dc_slots = dcam[prob.obs_image[prob.trk_obs]] * \
-        prob.trk_mask[..., None]
-    wtd = jnp.einsum("ptij,pti->pj", slot_W, dc_slots)
+    dc_slots = dcam[trk_img] * prob.trk_mask[..., None]
+    wtd = jnp.einsum("ptij,pti->pj", W_pt, dc_slots)
     dpt = jnp.einsum("pij,pj->pi", Vinv, gp - wtd)
     dpt = dpt * (~prob.const_points)[:, None].astype(dtype)
     return dcam, dpt
@@ -951,10 +996,11 @@ def _refine_any(opts: BAOptions) -> bool:
 
 
 def _build_and_solve(prob: BAProblem, r, Jc, Jp, Jg, w, lam,
-                     opts: BAOptions):
+                     opts: BAOptions, x_init=None):
     """One damped Gauss-Newton step via dense Schur complement.
 
-    Returns (dcam (I, 6), dint (C, 8), dpt (P, 3)).
+    Returns (dcam (I, 6), dint (C, 8), dpt (P, 3)). x_init warm-starts
+    the iterative solvers' CG from the previous LM step's dcam.
     """
     I = prob.image_qvec.shape[0]
     P = prob.points.shape[0]
@@ -964,7 +1010,8 @@ def _build_and_solve(prob: BAProblem, r, Jc, Jp, Jg, w, lam,
     # jacobians vanish (masked below via camfree).
     wm = (w * prob.obs_mask.astype(dtype))[:, None, None]
     sw = jnp.sqrt(wm)
-    camfree = (~prob.const_image)[prob.obs_image].astype(dtype)[:, None, None]
+    camfree = _expand_cam(
+        (~prob.const_image).astype(dtype), prob)[:, None, None]
     ptfree = (~prob.const_points)[prob.obs_point].astype(dtype)[:, None, None]
     Jc_w = Jc * sw * camfree
     Jp_w = Jp * sw * ptfree
@@ -980,14 +1027,14 @@ def _build_and_solve(prob: BAProblem, r, Jc, Jp, Jg, w, lam,
         Jg_w = Jg * sw
         if solver == "iterative":
             return _build_and_solve_iterative_joint(
-                prob, r_w, Jc_w, Jp_w, Jg_w, lam, opts)
+                prob, r_w, Jc_w, Jp_w, Jg_w, lam, opts, x_init=x_init)
         return _build_and_solve_joint(prob, r_w, Jc_w, Jp_w, Jg_w, lam,
                                       opts)
 
     dint0 = jnp.zeros_like(prob.cam_refine)
     if solver == "iterative":
         dcam, dpt = _build_and_solve_iterative(prob, r_w, Jc_w, Jp_w,
-                                               lam, opts)
+                                               lam, opts, x_init=x_init)
         return dcam, dint0, dpt
 
     T = prob.trk_obs.shape[1]
@@ -1107,20 +1154,20 @@ def compute_cost(prob: BAProblem, opts: BAOptions) -> jax.Array:
 
 
 def _plain_cost(prob: BAProblem, opts: BAOptions) -> jax.Array:
-    q = prob.image_qvec[prob.obs_image]
-    t = prob.image_tvec[prob.obs_image]
-    cidx = prob.image_camidx[prob.obs_image]
+    q = _expand_cam(prob.image_qvec, prob)
+    t = _expand_cam(prob.image_tvec, prob)
     X = prob.points[prob.obs_point]
     Xc = rops.quat_rotate(q, X) + t
     if opts.pinhole_only:
         # skip the 11-way camera-model switch (same cut as the
         # jacobian fast path) — big trace/HLO reduction
-        fpar = _pinhole_fparams(prob)[cidx]
+        fpar = _expand_cam(_pinhole_fparams(prob)[prob.image_camidx],
+                           prob)
         z = jnp.where(jnp.abs(Xc[:, 2]) < 1e-12, 1e-12, Xc[:, 2])
         proj = Xc[:, :2] / z[:, None] * fpar[:, :2] + fpar[:, 2:]
     else:
-        mid = prob.cam_model_id[cidx]
-        par = prob.cam_params[cidx]
+        mid = _expand_cam(prob.cam_model_id[prob.image_camidx], prob)
+        par = _expand_cam(prob.cam_params[prob.image_camidx], prob)
         proj = jax.vmap(cm.img_from_cam)(mid, par, Xc)
     r = proj - prob.obs_xy
     r = jnp.where((Xc[:, 2] > 1e-6)[:, None], r, 1e3)
@@ -1157,13 +1204,14 @@ def solve(prob: BAProblem, opts: BAOptions = BAOptions(),
     # intrinsics updates persist (the round-2 NotImplementedError guard
     # is gone: the carry now includes them).
     def lm_iter(carry):
-        (q, t, X, cp), lam, cost, it, done, small_cnt = carry
+        (q, t, X, cp), lam, cost, it, done, small_cnt, dprev = carry
         p = prob._replace(image_qvec=q, image_tvec=t, points=X,
                           cam_params=cp)
         r, Jc, Jp, Jg = _residuals_and_jacobians(p, refine, pinhole_only)
         r2 = jnp.sum(r * r, axis=-1)
         w = _robust_weights(r2, opts.loss, opts.loss_scale)
-        dcam, dint, dpt = _build_and_solve(p, r, Jc, Jp, Jg, w, lam, opts)
+        dcam, dint, dpt = _build_and_solve(p, r, Jc, Jp, Jg, w, lam,
+                                           opts, x_init=dprev)
         trial = _apply_step(p, dcam, dpt, dint if refine else None)
         new_cost = _plain_cost(trial, opts)
         accept = new_cost < cost
@@ -1186,21 +1234,23 @@ def solve(prob: BAProblem, opts: BAOptions = BAOptions(),
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-10),
                         jnp.minimum(lam * 4.0, 1e6))
-        return (state, lam, cost, it + 1, done, small_cnt)
+        # CG warm start for the next LM iteration (iterative solvers)
+        return (state, lam, cost, it + 1, done, small_cnt, dcam)
 
     lam0 = jnp.asarray(opts.init_lambda, prob.obs_xy.dtype)
     state0 = (prob.image_qvec, prob.image_tvec, prob.points,
               prob.cam_params)
+    d0 = jnp.zeros((prob.image_qvec.shape[0], 6), prob.obs_xy.dtype)
     carry0 = (state0, lam0, init_cost, jnp.asarray(0, jnp.int32),
-              jnp.asarray(False), jnp.asarray(0, jnp.int32))
+              jnp.asarray(False), jnp.asarray(0, jnp.int32), d0)
     if max_iters is None and opts.ftol <= 0:
-        (state, lam, cost, iters, _, _), _ = jax.lax.scan(
+        (state, lam, cost, iters, _, _, _), _ = jax.lax.scan(
             lambda c, _: (lm_iter(c), None), carry0, None,
             length=opts.max_iterations)
     else:
         bound = jnp.asarray(opts.max_iterations if max_iters is None
                             else max_iters, jnp.int32)
-        state, lam, cost, iters, _, _ = jax.lax.while_loop(
+        state, lam, cost, iters, _, _, _ = jax.lax.while_loop(
             lambda c: (c[3] < bound) & ~c[4], lm_iter, carry0)
     prob = prob._replace(image_qvec=state[0], image_tvec=state[1],
                          points=state[2], cam_params=state[3])
