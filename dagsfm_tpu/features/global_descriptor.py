@@ -16,6 +16,17 @@ The whole batch embeds in ONE jitted program; the similarity graph is a
 single (N, D) x (D, N) matmul. BoW retrieval (features/retrieval.py,
 features/visual_index.py) remains the local-feature alternative — this
 module covers the reference's global-descriptor modality.
+
+Measured retrieval quality (tests/test_global_descriptor.py::
+test_pair_selection_precision_vs_covisibility — per-image precision of
+top-4 descriptor neighbors vs top-4 ground-truth covisible neighbors on
+a rendered 20-camera ring): VLAD ~0.69 > BoW ~0.58 > Gabor ~0.35
+(random ~0.27). The hand-crafted Gabor embedding is therefore only the
+raw-image FALLBACK; whenever SIFT descriptors exist, 'global' pair mode
+uses vlad_descriptors (feature_pipeline.select_pairs), which is also
+the strongest modality measured. A learned CNN embedding (the
+reference's MirrorNet) would likely beat all three but no pretrained
+weights ship in this environment.
 """
 
 from __future__ import annotations
