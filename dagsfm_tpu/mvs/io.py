@@ -96,3 +96,43 @@ def write_ply_points(path: str, xyz: np.ndarray,
             f.write(bytes(rows))
         else:
             f.write(flt.tobytes())
+
+
+def read_ply_points(path: str):
+    """Read a PLY point cloud -> (xyz (N,3), normals (N,3) | None).
+
+    Counterpart of the reference mesher CLIs' fused.ply input
+    (ref mvs/meshing.h PoissonMeshing(input_path)). Handles the binary
+    little-endian and ascii layouts write_ply_points produces (float
+    x/y/z [+ nx/ny/nz] [+ uchar rgb]).
+    """
+    with open(path, "rb") as f:
+        header = []
+        while True:
+            line = f.readline().decode("ascii", "replace").strip()
+            header.append(line)
+            if line == "end_header":
+                break
+        fmt = next(l.split()[1] for l in header if l.startswith("format"))
+        n = int(next(l.split()[2] for l in header
+                     if l.startswith("element vertex")))
+        props = [(l.split()[1], l.split()[2]) for l in header
+                 if l.startswith("property")]
+        names = [p[1] for p in props]
+        np_types = {"float": "<f4", "double": "<f8", "uchar": "u1",
+                    "uint8": "u1", "int": "<i4", "uint": "<u4"}
+        if fmt.startswith("binary"):
+            dtype = np.dtype([(nm, np_types[tp]) for tp, nm in props])
+            data = np.frombuffer(f.read(dtype.itemsize * n), dtype=dtype)
+        else:
+            raw = np.loadtxt(f, max_rows=n)
+            data = {nm: raw[:, k] for k, nm in enumerate(names)}
+    xyz = np.stack([np.asarray(data["x"], np.float64),
+                    np.asarray(data["y"], np.float64),
+                    np.asarray(data["z"], np.float64)], axis=1)
+    normals = None
+    if all(k in names for k in ("nx", "ny", "nz")):
+        normals = np.stack([np.asarray(data["nx"], np.float64),
+                            np.asarray(data["ny"], np.float64),
+                            np.asarray(data["nz"], np.float64)], axis=1)
+    return xyz, normals

@@ -487,6 +487,38 @@ def cmd_vocab_tree_builder(args):
           f"descriptors -> {args.vocab_tree_path}")
 
 
+def cmd_poisson_mesher(args):
+    """Fused point cloud -> watertight Poisson mesh (ref colmap.cc
+    RunPoissonMesher / mvs/meshing.h:106; here the spectral grid solver,
+    mvs/poisson.py)."""
+    from dagsfm_tpu.mvs import io as mvs_io
+    from dagsfm_tpu.mvs import meshing
+    from dagsfm_tpu.mvs.poisson import PoissonOptions, poisson_mesh
+    xyz, normals = mvs_io.read_ply_points(args.input_path)
+    if normals is None:
+        raise SystemExit("poisson_mesher needs a PLY with nx/ny/nz "
+                         "normals (run stereo_fusion first)")
+    verts, tris = poisson_mesh(
+        xyz, normals, PoissonOptions(grid=args.grid, screen=args.screen,
+                                     smooth_sigma=args.smooth))
+    meshing.write_ply_mesh(args.output_path, verts, tris)
+    print(f"poisson mesh: {len(verts)} vertices, {len(tris)} triangles "
+          f"-> {args.output_path}")
+
+
+def cmd_delaunay_mesher(args):
+    """Fused point cloud -> Delaunay surface mesh (ref colmap.cc
+    RunDelaunayMesher; mvs/meshing.py)."""
+    from dagsfm_tpu.mvs import io as mvs_io
+    from dagsfm_tpu.mvs import meshing
+    xyz, _normals = mvs_io.read_ply_points(args.input_path)
+    verts, tris = meshing.delaunay_mesh(
+        xyz, meshing.MeshingOptions(max_edge_factor=args.max_edge_factor))
+    meshing.write_ply_mesh(args.output_path, verts, tris)
+    print(f"delaunay mesh: {len(verts)} vertices, {len(tris)} triangles "
+          f"-> {args.output_path}")
+
+
 def cmd_point_filtering(args):
     """Filter 3D points by track length / reprojection error (ref
     point_filtering)."""
@@ -1011,6 +1043,18 @@ def build_parser() -> argparse.ArgumentParser:
         ("--output_path", dict(required=True)),
         ("--min_track_len", dict(type=int, default=2)),
         ("--max_reproj_error", dict(type=float, default=4.0)),
+    ])
+    add("poisson_mesher", cmd_poisson_mesher, [
+        ("--input_path", dict(required=True)),
+        ("--output_path", dict(required=True)),
+        ("--grid", dict(type=int, default=128)),
+        ("--screen", dict(type=float, default=4.0)),
+        ("--smooth", dict(type=float, default=1.0)),
+    ])
+    add("delaunay_mesher", cmd_delaunay_mesher, [
+        ("--input_path", dict(required=True)),
+        ("--output_path", dict(required=True)),
+        ("--max_edge_factor", dict(type=float, default=3.0)),
     ])
     add("color_extractor", cmd_color_extractor, [
         ("--image_path", dict(required=True)),

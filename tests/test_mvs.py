@@ -207,3 +207,45 @@ def test_dense_controller_end_to_end(tmp_path, rendered):
     assert (tmp_path / "stereo" / "depth_maps" / "im0.png.geometric.bin"
             ).exists()
     assert (tmp_path / "fused.ply").exists()
+
+
+def test_poisson_mesh_sphere():
+    """Spectral Poisson reconstruction of a noisy oriented sphere cloud:
+    vertices on the unit sphere, surface area ~= 4*pi (ref PoissonRecon
+    role, mvs/meshing.h:106)."""
+    from dagsfm_tpu.mvs.poisson import PoissonOptions, poisson_mesh
+
+    rng = np.random.default_rng(0)
+    n = 8000
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    xyz = v + rng.normal(0, 0.005, (n, 3))
+    verts, tris = poisson_mesh(xyz, v, PoissonOptions(grid=64))
+    assert len(verts) > 1000 and len(tris) > 2000
+    r = np.linalg.norm(verts - xyz.mean(0), axis=1)
+    assert abs(r.mean() - 1.0) < 0.02, r.mean()
+    assert r.std() < 0.02, r.std()
+    a, b, c = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
+    area = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1).sum()
+    assert abs(area - 4 * np.pi) < 0.8, area
+
+
+def test_poisson_mesher_cli(tmp_path):
+    """poisson_mesher CLI: fused.ply (with normals) -> mesh PLY (ref
+    colmap.cc RunPoissonMesher CLI surface)."""
+    from dagsfm_tpu.mvs import io as mvs_io
+    from dagsfm_tpu.pipeline import cli
+
+    rng = np.random.default_rng(1)
+    n = 4000
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    ply_in = str(tmp_path / "fused.ply")
+    mvs_io.write_ply_points(ply_in, v, normal=v)
+    xyz2, n2 = mvs_io.read_ply_points(ply_in)
+    np.testing.assert_allclose(xyz2, v, atol=1e-6)
+    np.testing.assert_allclose(n2, v, atol=1e-6)
+    out = str(tmp_path / "mesh.ply")
+    cli.main(["poisson_mesher", "--input_path", ply_in,
+              "--output_path", out, "--grid", "48"])
+    assert (tmp_path / "mesh.ply").stat().st_size > 10000
