@@ -275,3 +275,87 @@ def align_to_manhattan_world(rec, frame: np.ndarray) -> np.ndarray:
     if np.count_nonzero(frame[:, 1]) == 0:
         return rotation_from_unit_vectors(frame[:, 0], [1, 0, 0])
     return frame.T
+
+
+# -------------------------------------------------- line segments (LSD role)
+
+
+def detect_line_segments(img: np.ndarray, min_length: float = 3.0,
+                         opts: ManhattanOptions = None,
+                         band_px: float = 2.0, gap_px: float = 4.0):
+    """Line SEGMENTS with endpoints (ref base/line.h DetectLineSegments,
+    backed there by the vendored LSD C library).
+
+    TPU-first replacement for LSD's sequential region growing: Hough
+    peaks give candidate lines (one batched accumulation, detect_lines);
+    each line's supporting pixels (gradient orientation within the
+    line's theta bin AND within band_px of the line) are projected onto
+    the line direction in one vectorized pass, and contiguous runs
+    (gaps > gap_px split) become segments. Returns (segments (S, 2, 2)
+    [start, end] in pixel coords, line_idx (S,) into the Hough lines).
+    """
+    opts = opts or ManhattanOptions()
+    lines, support, thetas = detect_lines(img, opts)
+    if len(lines) == 0:
+        return np.zeros((0, 2, 2)), np.zeros(0, int)
+
+    im = np.asarray(img, np.float32)
+    gx = np.zeros_like(im)
+    gy = np.zeros_like(im)
+    gx[:, 1:-1] = im[:, 2:] - im[:, :-2]
+    gy[1:-1, :] = im[2:, :] - im[:-2, :]
+    mag = np.hypot(gx, gy)
+    ang = np.mod(np.arctan2(gy, gx), np.pi)
+    strong = mag > np.percentile(mag, 90.0)
+    ys, xs = np.nonzero(strong)
+    pix_ang = ang[ys, xs]
+
+    segments = []
+    seg_line = []
+    dth = np.pi / opts.num_theta_bins
+    for k, (ln, th) in enumerate(zip(lines, thetas)):
+        # orientation gate (wrap at pi) + distance-to-line gate
+        dang = np.abs(np.mod(pix_ang - th + np.pi / 2, np.pi) - np.pi / 2)
+        near = dang < dth
+        d = np.abs(ln[0] * xs[near] + ln[1] * ys[near] + ln[2])
+        sel = d < band_px
+        if sel.sum() < min_length:
+            continue
+        xn, yn = xs[near][sel], ys[near][sel]
+        # parameter along the line direction (-sin, cos)
+        t = -np.sin(th) * xn + np.cos(th) * yn
+        order = np.argsort(t)
+        ts = t[order]
+        cut = np.nonzero(np.diff(ts) > gap_px)[0]
+        starts = np.concatenate([[0], cut + 1])
+        ends = np.concatenate([cut, [len(ts) - 1]])
+        # foot of the line: point closest to origin
+        x0, y0 = -ln[2] * ln[0], -ln[2] * ln[1]
+        dvec = np.array([-np.sin(th), np.cos(th)])
+        for s, e in zip(starts, ends):
+            if ts[e] - ts[s] >= min_length:
+                p0 = np.array([x0, y0]) + ts[s] * dvec
+                p1 = np.array([x0, y0]) + ts[e] * dvec
+                segments.append(np.stack([p0, p1]))
+                seg_line.append(k)
+    if not segments:
+        return np.zeros((0, 2, 2)), np.zeros(0, int)
+    return np.stack(segments), np.asarray(seg_line)
+
+
+HORIZONTAL, VERTICAL, UNDEFINED = 1, -1, 0
+
+
+def classify_line_segment_orientations(segments: np.ndarray,
+                                       tolerance: float = 0.25):
+    """HORIZONTAL / VERTICAL / UNDEFINED per segment (ref base/line.h
+    ClassifyLineSegmentOrientations: |direction| component within
+    `tolerance` of axis-aligned)."""
+    if len(segments) == 0:
+        return np.zeros(0, int)
+    d = segments[:, 1] - segments[:, 0]
+    d = d / np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+    out = np.full(len(segments), UNDEFINED, int)
+    out[np.abs(d[:, 1]) < tolerance] = HORIZONTAL
+    out[np.abs(d[:, 0]) < tolerance] = VERTICAL
+    return out

@@ -300,3 +300,35 @@ class TestCliBatch:
             iid = next(iter(imgs))
             assert d.read_keypoints(iid).shape[0] == 12
             assert d.read_descriptors(iid).shape == (12, 128)
+
+
+def test_detect_line_segments_endpoints_and_gap():
+    """LSD-role segment detector (ref base/line.h DetectLineSegments):
+    endpoints recovered, collinear segments split at gaps, orientation
+    classification (ClassifyLineSegmentOrientations)."""
+    from dagsfm_tpu.estimation.coordinate_frame import (
+        HORIZONTAL, VERTICAL, classify_line_segment_orientations,
+        detect_line_segments)
+
+    img = np.zeros((200, 300), np.float32)
+    img[50:53, 20:140] = 1.0      # horizontal bar 1
+    img[50:53, 180:280] = 1.0     # horizontal bar 2 (same line, gap)
+    img[90:180, 150:153] = 1.0    # vertical bar
+    img += np.random.default_rng(0).normal(0, 0.01, img.shape).astype(
+        np.float32)
+    segs, lidx = detect_line_segments(img, min_length=30)
+    ori = classify_line_segment_orientations(segs)
+    h = [s for s, o in zip(segs, ori)
+         if o == HORIZONTAL and abs(s[0][1] - 51) < 6]
+    v = [s for s, o in zip(segs, ori)
+         if o == VERTICAL and abs(s[0][0] - 151) < 6]
+    # the gap splits the horizontal line into two segments; the vertical
+    # bar yields at least one (each bar edge is a genuine line)
+    assert len(h) >= 2, h
+    assert len(v) >= 1, v
+    lens = sorted(float(np.linalg.norm(s[1] - s[0])) for s in h)[-2:]
+    # ~100 px and ~120 px bars (Hough angle quantization can clip a few
+    # percent off the projected extent)
+    assert 60 < lens[0] < 140 and 90 < lens[1] < 140, lens
+    vlen = max(float(np.linalg.norm(s[1] - s[0])) for s in v)
+    assert 70 < vlen < 110, vlen
