@@ -250,6 +250,8 @@ class FeaturePipeline:
         t0 = time.time()
         if pairs is None:
             pairs = self.select_pairs()
+            self.timings["pair_selection"] = time.time() - t0
+        t0 = time.time()
         raw = fm.match_pairs(self.descriptors, self.masks, pairs,
                              self.opts.matching, bank=self.bank)
         self.timings["matching"] = time.time() - t0
