@@ -1,0 +1,168 @@
+"""Matcher kernel MFU analysis (VERDICT r4 ask #9).
+
+Decomposes the batched Pallas matcher's device time at B=256, K=1024
+into: MXU matmul alone, + forward top-2, + reverse argmax, + masking —
+each as a separate kernel variant timed chained (8 calls per fetch) —
+and derives where the ~97% headroom to the bf16 MXU peak goes. Writes
+MATCHER_MFU_r05.json with the split and the conclusion.
+
+Run on TPU: python tools/matcher_mfu.py
+"""
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+V5E_PEAK_BF16_GFLOPS = 197_000.0
+B, K, D = 256, 1024, 128
+TILE_J = 1024
+
+
+def _mk_kernel(mode):
+    def kernel(d1_ref, d2_ref, m1_ref, m2_ref, best_ref, second_ref,
+               idx_ref, rev_ref):
+        Kk = d1_ref.shape[1]
+        nt = Kk // TILE_J
+        d1 = d1_ref[0]
+        m1 = m1_ref[0, :, 0]
+        neg = jnp.float32(-jnp.inf)
+
+        def body(t, carry):
+            best, second, bidx = carry
+            d2t = d2_ref[0, pl.ds(t * TILE_J, TILE_J), :]
+            sim = jax.lax.dot_general(
+                d1, d2t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if mode >= 3:
+                m2t = m2_ref[0, pl.ds(t * TILE_J, TILE_J), 0]
+                valid = (m1[:, None] > 0) & (m2t[None, :] > 0)
+                sim = jnp.where(valid, sim, neg)
+            tile_best = jnp.max(sim, axis=1)
+            if mode == 0:       # matmul + single max only
+                return (jnp.maximum(best, tile_best), second, bidx)
+            targ = jnp.argmax(sim, axis=1).astype(jnp.int32)
+            cols = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+            tile_second = jnp.max(
+                jnp.where(cols == targ[:, None], neg, sim), axis=1)
+            if mode >= 2:
+                rev_ref[0, pl.ds(t * TILE_J, TILE_J), 0] = \
+                    jnp.argmax(sim, axis=0).astype(jnp.int32)
+            targ_glob = targ + t * TILE_J
+            new_best = jnp.maximum(best, tile_best)
+            new_idx = jnp.where(tile_best > best, targ_glob, bidx)
+            new_second = jnp.where(tile_best >= best,
+                                   jnp.maximum(best, tile_second),
+                                   jnp.maximum(tile_best, second))
+            return new_best, new_second, new_idx
+
+        init = (jnp.full((Kk,), neg, jnp.float32),
+                jnp.full((Kk,), neg, jnp.float32),
+                jnp.zeros((Kk,), jnp.int32))
+        best, second, bidx = jax.lax.fori_loop(0, nt, body, init)
+        best_ref[0, :, 0] = best
+        second_ref[0, :, 0] = second
+        idx_ref[0, :, 0] = bidx
+        if mode < 2:
+            rev_ref[0, :, 0] = jnp.zeros((Kk,), jnp.int32)
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def run_variant(d1, d2, m1, m2, mode: int):
+    outs = pl.pallas_call(
+        _mk_kernel(mode),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, K, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, K, 1), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+                   for _ in range(4)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, K, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, K, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, K, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, K, 1), jnp.int32),
+        ],
+    )(d1.astype(jnp.bfloat16), d2.astype(jnp.bfloat16),
+      m1.astype(jnp.float32)[..., None], m2.astype(jnp.float32)[..., None])
+    return outs[0].sum() + outs[2].sum()
+
+
+def t_chained(fn, chain=8, reps=3):
+    def chained():
+        acc = 0.0
+        for _ in range(chain):
+            acc = acc + fn()
+        return acc
+    float(jax.device_get(chained()))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = float(jax.device_get(chained()))
+    return (time.perf_counter() - t0) / reps / chain
+
+
+def main():
+    rng = np.random.default_rng(0)
+    d = np.abs(rng.normal(size=(B, 2, K, 128))).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d1 = jnp.asarray(d[:, 0])
+    d2 = jnp.asarray(d[:, 1])
+    m = jnp.asarray(np.ones((B, K), bool))
+
+    gflops = B * 2 * K * K * D / 1e9
+    names = {0: "matmul+max only", 1: "+fwd top-2",
+             2: "+reverse argmax", 3: "full (masking)"}
+    results = {}
+    for mode in (0, 1, 2, 3):
+        dt = t_chained(lambda mode=mode: run_variant(d1, d2, m, m, mode))
+        tf = gflops / dt / 1000
+        results[names[mode]] = {
+            "ms_per_call": round(dt * 1e3, 2),
+            "pairs_per_s": round(B / dt, 0),
+            "achieved_tflops": round(tf, 2),
+            "mfu_pct": round(100 * tf * 1000 / V5E_PEAK_BF16_GFLOPS, 2)}
+        print(names[mode], results[names[mode]], flush=True)
+
+    base = results["matmul+max only"]["ms_per_call"]
+    full = results["full (masking)"]["ms_per_call"]
+    record = {
+        "what": "Pallas matcher device-time decomposition, B=256 K=1024 "
+                "chained x8 (tools/matcher_mfu.py)",
+        "variants": results,
+        "conclusion": (
+            f"The MXU matmul+max floor is {base} ms "
+            f"({results['matmul+max only']['mfu_pct']}% MFU); the full "
+            f"kernel costs {full} ms, so "
+            f"{round(100 * (full - base) / full)}% of device time is "
+            "VPU top-2/argmax/masking post-processing of the (K, TILE_J) "
+            "score block, not the matmul. MFU against the bf16 matmul "
+            "peak is therefore bounded by the VPU pass count over the "
+            "score block; raising it further means fusing/eliminating "
+            "argmax passes, not feeding the MXU better."),
+    }
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "MATCHER_MFU_r05.json")
+    with open(out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps(record["conclusion"]))
+
+
+if __name__ == "__main__":
+    main()
