@@ -108,12 +108,14 @@ def _match_on_bank(all_d, all_m, idx1, idx2, opts, use_pallas):
     m1 = jnp.take(all_m, idx1, axis=0)
     m2 = jnp.take(all_m, idx2, axis=0)
     if use_pallas:
-        from dagsfm_tpu.ops.pallas_matcher import pallas_match_pair_batch
-        matches, _ = pallas_match_pair_batch(
+        # fully-fused kernel: ratio test + mutual cross-check in-kernel,
+        # j indices out — zero XLA post-processing (the take_along_axis
+        # mutual check cost ~6 ms per 256-pair batch: TPU gathers)
+        from dagsfm_tpu.ops.pallas_matcher import pallas_match_j_batch
+        return pallas_match_j_batch(
             d1, d2, m1, m2, max_ratio=opts.max_ratio,
             max_distance=opts.max_distance, cross_check=opts.cross_check)
-    else:
-        matches, _ = match_pair_batch(d1, d2, m1, m2, opts)
+    matches, _ = match_pair_batch(d1, d2, m1, m2, opts)
     return matches[..., 1]
 
 

@@ -243,6 +243,106 @@ def pallas_top2_batch(d1, d2, m1, m2, interpret: bool = False):
     return tuple(o[..., 0] for o in outs)
 
 
+def _fused_matcher_kernel(TILE_J, max_ratio, max_distance, cross_check,
+                          d1_ref, d2_ref, m1_ref, m2_ref, j_ref):
+    """Fully-fused variant: ratio test AND mutual cross-check INSIDE the
+    kernel, emitting only the (1, K, 1) int32 j-index (-1 = no match).
+
+    The mutual check is gather-free: each column belongs to exactly one
+    j-tile, so the tile's own column-argmax IS the global reverse
+    winner; a row is mutual iff, in the tile that produced its forward
+    best, the (row == column-argmax) and (column == row-argmax)
+    indicator matrices intersect on its row. The XLA-side
+    take_along_axis formulation of the same check cost ~6 ms per
+    256-pair batch — TPU gathers again — which DOUBLED the wrapper time
+    over the kernel itself."""
+    K = d1_ref.shape[1]
+    nt = K // TILE_J
+    d1 = d1_ref[0]
+    m1 = m1_ref[0, :, 0]
+    neg = jnp.float32(-jnp.inf)
+
+    def body(t, carry):
+        best, second, bidx, mutual = carry
+        d2t = d2_ref[0, pl.ds(t * TILE_J, TILE_J), :]
+        sim = jax.lax.dot_general(
+            d1, d2t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m2t = m2_ref[0, pl.ds(t * TILE_J, TILE_J), 0]
+        valid = (m1[:, None] > 0) & (m2t[None, :] > 0)
+        sim = jnp.where(valid, sim, neg)
+        tile_best = jnp.max(sim, axis=1)
+        targ = jnp.argmax(sim, axis=1).astype(jnp.int32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+        is_best_col = cols == targ[:, None]
+        tile_second = jnp.max(jnp.where(is_best_col, neg, sim), axis=1)
+        if cross_check:
+            rev_tile = jnp.argmax(sim, axis=0).astype(jnp.int32)  # (T,)
+            rows = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 0)
+            # int32 carry: Mosaic cannot select on an i1 loop carry
+            tile_mutual = jnp.any(
+                is_best_col & (rows == rev_tile[None, :]),
+                axis=1).astype(jnp.int32)
+        else:
+            tile_mutual = jnp.ones((K,), jnp.int32)
+        win = tile_best > best
+        return (jnp.maximum(best, tile_best),
+                jnp.where(tile_best >= best,
+                          jnp.maximum(best, tile_second),
+                          jnp.maximum(tile_best, second)),
+                jnp.where(win, targ + t * TILE_J, bidx),
+                jnp.where(win, tile_mutual, mutual))
+
+    init = (jnp.full((K,), neg, jnp.float32),
+            jnp.full((K,), neg, jnp.float32),
+            jnp.zeros((K,), jnp.int32),
+            jnp.zeros((K,), jnp.int32))
+    best, second, bidx, mutual = jax.lax.fori_loop(0, nt, body, init)
+    d_best = jnp.sqrt(jnp.maximum(2.0 - 2.0 * best, 0.0))
+    d_second = jnp.sqrt(jnp.maximum(2.0 - 2.0 * second, 1e-12))
+    ok = ((d_best < max_ratio * d_second) & (d_best < max_distance)
+          & (m1 > 0))
+    if cross_check:
+        ok = ok & (mutual > 0)
+    j_ref[0, :, 0] = jnp.where(ok, bidx, -1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_ratio", "max_distance",
+                                    "cross_check", "interpret"))
+def pallas_match_j_batch(d1, d2, m1, m2, max_ratio: float = 0.8,
+                         max_distance: float = 0.7,
+                         cross_check: bool = True,
+                         interpret: bool = False):
+    """Fully-fused batched matcher: one kernel, one (B, K) int32 output
+    (j index per row, -1 = no match). The fastest production entry —
+    no XLA post-processing at all."""
+    import functools as _ft
+    B, K, D = d1.shape
+    j = pl.pallas_call(
+        _ft.partial(_fused_matcher_kernel, _pick_tile(K),
+                    float(max_ratio), float(max_distance),
+                    bool(cross_check)),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, K, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, K, 1), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, K, 1), jnp.int32),
+        interpret=interpret,
+    )(d1.astype(jnp.bfloat16), d2.astype(jnp.bfloat16),
+      m1.astype(jnp.float32)[..., None], m2.astype(jnp.float32)[..., None])
+    return j[..., 0]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("max_ratio", "max_distance",
                                     "cross_check", "interpret"))
@@ -253,20 +353,13 @@ def pallas_match_pair_batch(d1, d2, m1, m2, max_ratio: float = 0.8,
     """Drop-in batched matcher on the fused kernel — same contract as
     features.matching.match_pair_batch: (matches (B, K, 2) int32 with -1
     pads, num_matches (B,))."""
-    best, second, idx, rev_idx = pallas_top2_batch(
-        d1, d2, m1, m2, interpret=interpret)
-    d_best = jnp.sqrt(jnp.maximum(2.0 - 2.0 * best, 0.0))
-    d_second = jnp.sqrt(jnp.maximum(2.0 - 2.0 * second, 1e-12))
-    ok = (d_best < max_ratio * d_second) & (d_best < max_distance) & m1
+    j = pallas_match_j_batch(d1, d2, m1, m2, max_ratio=max_ratio,
+                             max_distance=max_distance,
+                             cross_check=cross_check, interpret=interpret)
     K = d1.shape[1]
-    if cross_check:
-        mutual = jnp.take_along_axis(rev_idx, idx, axis=1) == \
-            jnp.arange(K)[None, :]
-        ok = ok & mutual
-    ok = ok & jnp.take_along_axis(m2, idx, axis=1)
-    k_idx = jnp.broadcast_to(jnp.arange(K)[None, :], idx.shape)
-    matches = jnp.stack([jnp.where(ok, k_idx, -1),
-                         jnp.where(ok, idx, -1)], axis=-1)
+    ok = j >= 0
+    k_idx = jnp.broadcast_to(jnp.arange(K)[None, :], j.shape)
+    matches = jnp.stack([jnp.where(ok, k_idx, -1), j], axis=-1)
     return matches.astype(jnp.int32), jnp.sum(ok, axis=1)
 
 

