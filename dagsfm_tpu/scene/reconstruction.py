@@ -167,8 +167,11 @@ class Reconstruction:
             f = cam.focal()
             f = float(np.mean(f)) if np.ndim(f) else float(f)
             ratio = f / max(cam.width, cam.height)
-            n_intr = 3 if bool(np.asarray(
-                cm._is_single_focal(cam.model_id))) else 4
+            # host table lookup — the former eager jnp._is_single_focal
+            # call re-entered the (remote) compile cache every time the
+            # camera params constant changed: ~1.2 s per filter_images
+            # call on the tunnel, ~17% of total mapping time
+            n_intr = 3 if cam.model_id in cm._SINGLE_FOCAL else 4
             extra = np.abs(np.asarray(cam.params[n_intr:], float))
             if (ratio < min_focal_length_ratio
                     or ratio > max_focal_length_ratio

@@ -726,10 +726,11 @@ class IncrementalMapper:
                             self.opts.ba_refine_extra,
                             pinhole_only=ba.all_pinhole(arrays))
         prob, stats = _jit_ba_solve(prob, max_iterations, opts)
-        # write back
-        q = np.asarray(prob.image_qvec)
-        t = np.asarray(prob.image_tvec)
-        X = np.asarray(prob.points)
+        # write back — ONE transfer for all outputs (separate np.asarray
+        # fetches cost one ~30 ms tunnel round trip each)
+        q, t, X, newp_all = jax.device_get(
+            (prob.image_qvec, prob.image_tvec, prob.points,
+             prob.cam_params))
         for k, i in enumerate(img_ids):
             self.rec.images[i].qvec = q[k]
             self.rec.images[i].tvec = t[k]
@@ -737,7 +738,7 @@ class IncrementalMapper:
             if p in self.rec.points3D:
                 self.rec.points3D[p].xyz = X[k]
         if refine_on:
-            newp = np.asarray(prob.cam_params)
+            newp = newp_all
             for k, c in enumerate(cam_ids):
                 cam = self.rec.cameras[c]
                 n = len(cam.params)

@@ -80,6 +80,10 @@ def main():
     s = io.StringIO()
     pstats.Stats(pr, stream=s).sort_stats("tottime").print_stats(20)
     print(s.getvalue())
+    s = io.StringIO()
+    pstats.Stats(pr, stream=s).print_callers("array.py:631")
+    print("CALLERS OF DEVICE FETCH (_value):")
+    print(s.getvalue())
 
 
 if __name__ == "__main__":
