@@ -186,10 +186,18 @@ def make_problem(arrays, max_track_len: int = 16,
     # distributed_mapper_controller.h:52-56)
     sz = sizes[sorted_p]
     T = max_track_len
-    keep = (pos * T) // np.maximum(sz, 1) != ((pos + 1) * T) // \
-        np.maximum(sz, 1)
+    # per-track PHASE rotation (Knuth hash of the point id): without it
+    # every track keeps the same relative positions, and since tracks
+    # share camera order, the SAME ~T images receive all decimated
+    # observations while the rest are starved of constraints (observed:
+    # 100-camera scene where 16 images held 4.2k obs each and 84 held
+    # ~0 — skewing both conditioning and the (I, M) layout's padding)
+    szc = np.maximum(sz, 1)
+    phase = (sorted_p.astype(np.int64) * 2654435761) % szc
+    posr = (pos + phase) % szc
+    keep = (posr * T) // szc != ((posr + 1) * T) // szc
     keep |= sz <= T
-    slot = np.where(sz <= T, pos, (pos * T) // np.maximum(sz, 1))
+    slot = np.where(sz <= T, pos, (posr * T) // szc)
     fits = keep & (slot < T)
     trk_obs[sorted_p[fits], slot[fits]] = sorted_n[fits]
     trk_mask[sorted_p[fits], slot[fits]] = True
