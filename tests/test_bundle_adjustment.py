@@ -233,3 +233,39 @@ class TestIntrinsicsRefinement:
         out, _ = ba.solve(prob, opts)
         assert float(out.cam_params[0, 3]) == 0.05
         assert float(out.cam_params[0, 1]) == float(prob.cam_params[0, 1])
+
+
+def test_make_problem_image_major_invariants():
+    """The image-major layout contract the iterative solver relies on:
+    flat obs order IS the flattened (I, M) camera-slot layout, obs_image
+    is the row-repeat pattern, trk_img mirrors obs_image[trk_obs], and
+    track decimation spreads kept observations ~uniformly over images
+    (the pre-fix failure mode starved all but ~T images)."""
+    from dagsfm_tpu.scene import synthetic
+    from dagsfm_tpu.sfm import bundle_adjustment as ba
+
+    spec = synthetic.SyntheticSceneSpec(num_cameras=40, num_points=800,
+                                        pixel_noise=0.3, seed=1)
+    rec = synthetic.to_reconstruction(synthetic.generate(spec))
+    arrays, _ = rec.to_arrays()
+    prob = ba.make_problem(arrays, max_track_len=8)
+    I, M = prob.cam_obs.shape
+    N = prob.obs_xy.shape[0]
+    assert N == I * M
+    np.testing.assert_array_equal(np.asarray(prob.cam_obs).ravel(),
+                                  np.arange(N))
+    np.testing.assert_array_equal(
+        np.asarray(prob.obs_image),
+        np.repeat(np.arange(I, dtype=np.int32), M))
+    np.testing.assert_array_equal(np.asarray(prob.cam_mask).ravel(),
+                                  np.asarray(prob.obs_mask))
+    ti = np.asarray(prob.trk_img)
+    to = np.asarray(prob.trk_obs)
+    tm = np.asarray(prob.trk_mask)
+    np.testing.assert_array_equal(ti[tm],
+                                  np.asarray(prob.obs_image)[to[tm]])
+    # decimated observations spread across images: every image keeps a
+    # healthy share (long tracks here: 800 pts x ~40 views -> T=8)
+    oi = np.asarray(prob.obs_image)[np.asarray(prob.obs_mask)]
+    counts = np.bincount(oi, minlength=I)
+    assert counts.min() > 0.3 * counts.mean(), counts
