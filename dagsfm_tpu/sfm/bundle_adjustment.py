@@ -877,12 +877,17 @@ def _build_and_solve_iterative(prob: BAProblem, r_w, Jc_w, Jp_w, lam,
         W·y  : y gathered at obs_point (small (P,3) table) + block
                product, camera-reduced by a reshape+sum.
 
-    The only per-CG-iteration gathers touch SMALL tables ((I,6)/(P,3)),
-    where TPU gather throughput is acceptable — the (N,·)-table gathers
-    that dominated round 4 (5.9 ms each) are hoisted to one W_pt build
-    per linear solve. x_init warm-starts CG from the previous LM
-    iteration's solution (Ceres-style), typically halving CG iterations
-    once LM settles.
+    TPU gather cost is proportional to gathered ROW BYTES (~6.5 GB/s
+    effective vs ~80 GB/s dense, measured round 5), so the build phase
+    gathers only narrow rows: one (P,T)-slot gather of [Jp_w | r_w]
+    (32 B rows — the 104 B payload that also carried W cost 3x) and one
+    obs-level gather of the packed point table [Vinv | Vinv·gp] (48 B
+    rows, replacing separate Vinv and gp gathers). W is never gathered:
+    every Wᵀ·(camera vector) product is formed at OBS level, where the
+    camera vector broadcasts for free under the image-major layout, and
+    only the narrow (·,3) result is gathered into track slots. x_init
+    warm-starts CG from the previous LM iteration's solution
+    (Ceres-style), typically halving CG iterations once LM settles.
     """
     I = prob.image_qvec.shape[0]
     dtype = r_w.dtype
@@ -897,19 +902,16 @@ def _build_and_solve_iterative(prob: BAProblem, r_w, Jc_w, Jp_w, lam,
     U = jnp.einsum("imra,imrb->iab", Jc_slot, Jc_slot)      # (I,6,6)
     gc = -jnp.einsum("imra,imr->ia", Jc_slot, rc_slot)      # (I,6)
 
-    # point-major copies: ONE fused (P,T)-slot gather of the combined
-    # per-obs payload [Jp_w | r_w | W] per linear solve (three separate
-    # (N,·)-table gathers cost ~6 ms each on TPU; fused rows amortize
-    # the per-row gather overhead), instead of one gather per matvec.
+    # point-major copies: ONE narrow (P,T)-slot gather of [Jp_w | r_w]
+    # (32 B rows) per linear solve — W deliberately NOT in the payload
+    # (it is never needed track-major; see docstring).
     obs_live = prob.obs_mask.astype(dtype)[:, None, None]
     W = jnp.einsum("nri,nrj->nij", Jc_w, Jp_w) * obs_live   # (N,6,3)
-    payload = jnp.concatenate(
-        [Jp_w.reshape(-1, 6), r_w, W.reshape(-1, 18)], axis=1)  # (N,26)
-    tmask = prob.trk_mask.astype(dtype)[..., None, None]
-    slot = payload[prob.trk_obs] * tmask[..., 0]            # (P,T,26)
+    payload = jnp.concatenate([Jp_w.reshape(-1, 6), r_w], axis=1)  # (N,8)
+    tmask = prob.trk_mask.astype(dtype)[..., None]
+    slot = payload[prob.trk_obs] * tmask                    # (P,T,8)
     Jp_slot = slot[..., :6].reshape(*slot.shape[:2], 2, 3)
     rp_slot = slot[..., 6:8]
-    W_pt = slot[..., 8:].reshape(*slot.shape[:2], 6, 3)     # (P,T,6,3)
     V = jnp.einsum("ptri,ptrj->pij", Jp_slot, Jp_slot)
     gp = -jnp.einsum("ptri,ptr->pi", Jp_slot, rp_slot)
 
@@ -920,14 +922,20 @@ def _build_and_solve_iterative(prob: BAProblem, r_w, Jc_w, Jp_w, lam,
         + opts.point_damping) * eye3[None]
     Vinv = _inv3(Vd + 1e-12 * eye3[None])                   # (P,3,3)
 
-    WVinv = jnp.einsum("nij,njk->nik", W, Vinv[prob.obs_point])  # (N,6,3)
+    # one packed obs-level gather of the point tables: [Vinv | Vinv·gp]
+    # (48 B rows) instead of separate Vinv (36 B) + gp (12 B) gathers
+    u = jnp.einsum("pij,pj->pi", Vinv, gp)                  # (P,3)
+    G_obs = jnp.concatenate(
+        [Vinv.reshape(-1, 9), u], axis=1)[prob.obs_point]   # (N,12)
+    Vinv_obs = G_obs[:, :9].reshape(-1, 3, 3)
+    WVinv = jnp.einsum("nij,njk->nik", W, Vinv_obs)         # (N,6,3)
 
     def cam_reduce(z):
         """(N,K) per-obs values -> (I,K) sums by image (reshape+sum)."""
         return _cam_slot_view(z, prob).sum(axis=1)
 
-    # rhs: b = gc − W V⁻¹ gp, camera-reduced
-    b = gc - cam_reduce(jnp.einsum("nik,nk->ni", WVinv, gp[prob.obs_point]))
+    # rhs: b = gc − W (V⁻¹ gp), camera-reduced — u already per point
+    b = gc - cam_reduce(jnp.einsum("nij,nj->ni", W, G_obs[:, 9:]))
     b = b * free[:, None]
 
     # SCHUR_JACOBI preconditioner: diagonal blocks of S via the slot-view
@@ -941,13 +949,18 @@ def _build_and_solve_iterative(prob: BAProblem, r_w, Jc_w, Jp_w, lam,
     Sdiag = 0.5 * (Sdiag + jnp.swapaxes(Sdiag, -1, -2)) + 1e-10 * eyeC[None]
     Minv = jnp.linalg.solve(Sdiag, jnp.broadcast_to(eyeC, Sdiag.shape))
 
-    trk_img = prob.trk_img                                   # (P,T)
+    tmask_t = prob.trk_mask.astype(dtype)[..., None]         # (P,T,1)
+
+    def point_reduce(s):
+        """(N,3) per-obs values -> (P,3) sums by track: one narrow
+        12 B-row gather into track slots + masked sum over T."""
+        return jnp.sum(s[prob.trk_obs] * tmask_t, axis=1)
 
     def S_mv(x):
         xm = x * free[:, None]
-        xg_pt = xm[trk_img]                                  # (P,T,6)
-        tmp = jnp.einsum("ptij,pti->pj", W_pt, xg_pt)        # (P,3) Wᵀx
-        y = jnp.einsum("pij,pj->pi", Vinv, tmp)
+        x_obs = _expand_cam(xm, prob)                        # (N,6) bcast
+        s = jnp.einsum("nij,ni->nj", W, x_obs)               # (N,3) Wᵀx
+        y = jnp.einsum("pij,pj->pi", Vinv, point_reduce(s))
         z = jnp.einsum("nij,nj->ni", W, y[prob.obs_point])   # (N,6)
         Sx = jnp.einsum("iab,ib->ia", Ud, xm) - cam_reduce(z)
         return Sx * free[:, None] + x * (1.0 - free)[:, None]
@@ -991,10 +1004,10 @@ def _build_and_solve_iterative(prob: BAProblem, r_w, Jc_w, Jp_w, lam,
         cond, body, (jnp.asarray(0), x0, r0, p0, rz0))
     dcam = dcam * free[:, None]
 
-    # back-substitute points: dx_p = Vinv (gp − Σ_k Wᵀ_k dcam_{i_k})
-    dc_slots = dcam[trk_img] * prob.trk_mask[..., None]
-    wtd = jnp.einsum("ptij,pti->pj", W_pt, dc_slots)
-    dpt = jnp.einsum("pij,pj->pi", Vinv, gp - wtd)
+    # back-substitute points: dx_p = Vinv (gp − Σ_k Wᵀ_k dcam_{i_k}),
+    # Wᵀ·dcam formed at obs level (dcam broadcasts; only (N,3) gathered)
+    sd = jnp.einsum("nij,ni->nj", W, _expand_cam(dcam, prob))
+    dpt = jnp.einsum("pij,pj->pi", Vinv, gp - point_reduce(sd))
     dpt = dpt * (~prob.const_points)[:, None].astype(dtype)
     return dcam, dpt
 

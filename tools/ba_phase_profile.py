@@ -91,7 +91,10 @@ def main():
     cost_j = jax.jit(lambda p: ba._plain_cost(p, opts))
     dt_cost = t_it(lambda: cost_j(prob))
 
-    # ---- phase 3: Schur prologue (U,V,W,WVinv,B,Sdiag,Minv + rhs)
+    # ---- phase 3: Schur prologue (narrow-gather form, mirrors
+    # _build_and_solve_iterative after the round-5 gather restructure:
+    # [Jp|r] 32 B track payload, packed [Vinv|Vinv·gp] 48 B obs gather,
+    # W never gathered)
     lam = jnp.asarray(1e-4, jnp.float32)
 
     @jax.jit
@@ -105,9 +108,13 @@ def main():
         rc_slot = ba._cam_slot_view(r_w, p) * cmask[..., 0]
         U = jnp.einsum("imra,imrb->iab", Jc_slot, Jc_slot)
         gc = -jnp.einsum("imra,imr->ia", Jc_slot, rc_slot)
-        tmask = p.trk_mask.astype(dtype)[..., None, None]
-        Jp_slot = Jp_w[p.trk_obs] * tmask
-        rp_slot = r_w[p.trk_obs] * tmask[..., 0]
+        obs_live = p.obs_mask.astype(dtype)[:, None, None]
+        W = jnp.einsum("nri,nrj->nij", Jc_w, Jp_w) * obs_live
+        payload = jnp.concatenate([Jp_w.reshape(-1, 6), r_w], axis=1)
+        tmask = p.trk_mask.astype(dtype)[..., None]
+        slot = payload[p.trk_obs] * tmask
+        Jp_slot = slot[..., :6].reshape(*slot.shape[:2], 2, 3)
+        rp_slot = slot[..., 6:8]
         V = jnp.einsum("ptri,ptrj->pij", Jp_slot, Jp_slot)
         gp = -jnp.einsum("ptri,ptr->pi", Jp_slot, rp_slot)
         Ud = U + lam * eyeC[None] * jnp.maximum(
@@ -116,31 +123,33 @@ def main():
             jnp.diagonal(V, axis1=-2, axis2=-1), 1e-6)[..., None]
             + opts.point_damping) * eye3[None]
         Vinv = ba._inv3(Vd + 1e-12 * eye3[None])
-        obs_live = p.obs_mask.astype(dtype)[:, None, None]
-        W = jnp.einsum("nri,nrj->nij", Jc_w, Jp_w) * obs_live
-        WVinv = jnp.einsum("nij,njk->nik", W, Vinv[p.obs_point])
-        # direct slot-view Sdiag (no (N,36) B materialization) — mirrors
-        # _build_and_solve_iterative
+        u = jnp.einsum("pij,pj->pi", Vinv, gp)
+        G_obs = jnp.concatenate(
+            [Vinv.reshape(-1, 9), u], axis=1)[p.obs_point]
+        Vinv_obs = G_obs[:, :9].reshape(-1, 3, 3)
+        WVinv = jnp.einsum("nij,njk->nik", W, Vinv_obs)
         Sdiag = Ud - jnp.einsum("imak,imbk->iab",
                                 ba._cam_slot_view(WVinv, p),
                                 ba._cam_slot_view(W, p))
         Minv = jnp.linalg.solve(
             Sdiag + 1e-10 * eyeC[None], jnp.broadcast_to(eyeC, Sdiag.shape))
-        tmaskb = p.trk_mask.astype(dtype)[..., None, None]
-        W_pt = W[p.trk_obs] * tmaskb
-        return Ud, Vinv, W, WVinv, Minv, gc, gp, W_pt, p.trk_img
+        b = gc - ba._cam_slot_view(
+            jnp.einsum("nij,nj->ni", W, G_obs[:, 9:]), p).sum(axis=1)
+        return Ud, Vinv, W, Minv, gc, gp, b
     dt_pro = t_it(lambda: ph_prologue(prob, r_w, Jc_w, Jp_w))
-    Ud, Vinv, W, WVinv, Minv, gc, gp, W_pt, trk_img = [
+    Ud, Vinv, W, Minv, gc, gp, _b = [
         jax.block_until_ready(x) for x in ph_prologue(prob, r_w, Jc_w, Jp_w)]
 
     # ---- phase 4: one CG matvec (S_mv), and a 30-matvec chain
     free = (~prob.const_image).astype(jnp.float32)
+    tmask_t = prob.trk_mask.astype(jnp.float32)[..., None]
 
     @jax.jit
     def ph_matvec(x):
         xm = x * free[:, None]
-        xg_pt = xm[trk_img]
-        tmp = jnp.einsum("ptij,pti->pj", W_pt, xg_pt)
+        x_obs = ba._expand_cam(xm, prob)
+        s = jnp.einsum("nij,ni->nj", W, x_obs)
+        tmp = jnp.sum(s[prob.trk_obs] * tmask_t, axis=1)
         y = jnp.einsum("pij,pj->pi", Vinv, tmp)
         z = jnp.einsum("nij,nj->ni", W, y[prob.obs_point])
         Sx = jnp.einsum("iab,ib->ia", Ud, xm) - ba._cam_slot_view(z, prob).sum(axis=1)
@@ -165,11 +174,14 @@ def main():
     def gb(x):
         return x * 4 / 1e9
     bytes_rj = gb(nobs * (2 * 6 + 2 * 3 + 2 + 2 + 3) + I * 7 + P * 3)
-    # prologue: read Jc/Jp twice (slot gathers), write W/WVinv/B (N*18*2+N*36)
-    bytes_pro = gb(N * (12 + 6 + 2) + I * M * (12 + 2) + P * T * (6 + 2)
-                   + N * (18 + 18 + 36) * 2 + P * 9 * 3)
-    # matvec: read W twice (N*18*2), gathers u/z (N*3 + N*6), slot sums
-    bytes_mv = gb(N * 18 * 2 + N * 9 + P * T * 3 + I * M * 6 + P * 9)
+    # prologue (narrow-gather form): Jc/Jp/r reads, [Jp|r] payload
+    # write+gather, W write + 3 reads (WVinv/Sdiag/b), packed G gather,
+    # WVinv write+read, small (P,·) tables
+    bytes_pro = gb(N * (12 + 6 + 2) + N * 8 + P * T * 8 + N * 12
+                   + N * 18 * 4 + N * 18 * 2 + P * 9 * 4)
+    # matvec: read W twice (N*18*2), s write+gather (N*3+P*T*3),
+    # y gather (N*3), slot sums
+    bytes_mv = gb(N * 18 * 2 + N * 3 * 2 + P * T * 3 + N * 3 + P * 9)
 
     phases = {
         "lm_iter_ms": round(per_iter * 1e3, 1),
